@@ -21,7 +21,7 @@ def __getattr__(name):
     # Lazy import: keep `import gobblet_rl_tpu` cheap and free of pygame /
     # pettingzoo imports unless the classic env surface is requested.
     if name == "gobblet_v1":
-        from gobblet_rl_tpu import gobblet_v1
+        import importlib
 
-        return gobblet_v1
+        return importlib.import_module("gobblet_rl_tpu.gobblet_v1")
     raise AttributeError(f"module 'gobblet_rl_tpu' has no attribute {name!r}")

@@ -1,0 +1,13 @@
+from gobblet_rl_tpu.policies.greedy import GreedyGobbletPolicy
+from gobblet_rl_tpu.policies.random_policy import (
+    RandomAdmissiblePolicy,
+    batched_random_admissible,
+    random_admissible_action,
+)
+
+__all__ = [
+    "GreedyGobbletPolicy",
+    "RandomAdmissiblePolicy",
+    "batched_random_admissible",
+    "random_admissible_action",
+]

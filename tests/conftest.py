@@ -27,3 +27,18 @@ if _REPO not in sys.path:
 # dummy SDL driver instead — no display server needed).
 os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
 os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running parity tests (opt in with -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if config.getoption("-m"):
+        return
+    skip_slow = _pytest.mark.skip(reason="slow; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
