@@ -1,9 +1,9 @@
 """Headline benchmark: batched env throughput on one TPU chip.
 
-Measures fused rollout steps/s (policy sample + step + legal mask + obs under
-one lax.scan, zero host round-trips) with the random-admissible policy, and
-compares against the reference implementation measured on this machine
-(~265 env-steps/s single env, see BASELINE.md).
+Measures the lane-major fused rollout (random-admissible policy sampling +
+legal mask + step + win detection + auto-reset under one lax.scan, zero host
+round-trips) and compares against the reference implementation measured on
+this machine (~265 env-steps/s single env over gobblet_v1.env(); BASELINE.md).
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -16,7 +16,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 # Persistent compilation cache: the TPU session in this environment pays a
 # large one-time setup cost; cache compiled executables across runs.
@@ -27,31 +26,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # random-admissible driver over gobblet_v1.env(), pettingzoo 1.26, numpy path.
 REFERENCE_STEPS_PER_SEC = 265.0
 
-BATCH = 16384
+BATCH = 524288
 STEPS = 64
 REPEATS = 3
 
 
 def main() -> None:
-    from gobblet_rl_tpu.env import vector
+    from gobblet_rl_tpu.ops import batched_core as bc
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
-    states, ts = vector.vector_reset(BATCH)
     key = jax.random.PRNGKey(0)
+    state = bc.reset_planes(BATCH)
 
     # compile + warmup
-    out = vector.rollout(states, key, ts, vector.random_policy, STEPS)
-    jax.block_until_ready(out)
+    out = bc.rollout_random(state, key, STEPS)
+    jax.block_until_ready(out[2])
 
     best = 0.0
     for _ in range(REPEATS):
-        states, ts = vector.vector_reset(BATCH)
+        state = bc.reset_planes(BATCH)
         t0 = time.perf_counter()
-        states, ts, key, stats = vector.rollout(
-            states, key, ts, vector.random_policy, STEPS
-        )
+        state, key, stats = bc.rollout_random(state, key, STEPS)
         jax.block_until_ready(stats)
         dt = time.perf_counter() - t0
         best = max(best, BATCH * STEPS / dt)
