@@ -1,0 +1,336 @@
+"""On-device actor-learner DQN with opponent-in-the-loop self-play.
+
+Reproduces the reference Tianshou pipeline
+(/root/reference/gobblet_rl/examples/example_tianshou_DQN.py) as one fused
+TPU program per iteration:
+
+* MLP Q-net 117 -> [128]*4 -> 54 (example_tianshou_DQN.py:161-166);
+* gamma=0.9, n_step=3, target_update_freq=320, lr=1e-4, eps_train=0.1 /
+  eps_test=0.05, MSE TD loss (DQNPolicy defaults, :169-175);
+* learner-centric MDP: the env advances learner-ply + opponent-reply inside
+  the jitted collector, replacing MultiAgentPolicyManager's host dispatch
+  (:208, SURVEY §2 table);
+* replay + update + periodic target sync all on device (SURVEY §2:
+  VectorReplayBuffer -> donated ring buffer);
+* self-play generations: opponent params <- learner params snapshot each
+  generation, mirroring the deepcopy loop (:335-369).
+
+The opponent is a pluggable jitted policy: "random", "greedy" (batched
+depth-1/2 lookahead) or "self" (frozen Q-net params).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gobblet_rl_tpu.models.mlp import QNet, masked_argmax, masked_q
+from gobblet_rl_tpu.ops import batched_core as bc
+from gobblet_rl_tpu.policies import greedy_jax
+from gobblet_rl_tpu.train import replay
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    """Knob names follow the reference CLI (example_tianshou_DQN.py:28-136)
+    where they survive the redesign."""
+
+    seed: int = 42
+    eps_train: float = 0.1
+    eps_test: float = 0.05
+    buffer_size: int = 1 << 18
+    lr: float = 1e-4
+    gamma: float = 0.9
+    n_step: int = 3
+    target_update_freq: int = 320
+    epoch: int = 10
+    step_per_epoch: int = 64          # collect iterations per epoch
+    segment_len: int = 16             # learner steps per collect iteration
+    update_per_collect: int = 8       # gradient steps per collect iteration
+    batch_size: int = 1024
+    hidden_sizes: tuple = (128, 128, 128, 128)
+    num_envs: int = 1024
+    learner_player: int = 0
+    opponent: str = "random"          # "random" | "greedy" | "self"
+    greedy_depth: int = 2
+
+
+class TrainState(NamedTuple):
+    params: Any
+    target_params: Any
+    opponent_params: Any   # used when opponent == "self"
+    opt_state: Any
+    grad_steps: jnp.ndarray
+
+
+def _obs_bf(board, current):
+    """Batch-first flattened observation for the Q-net: int8[B, 117]."""
+    return bc.features_lm(board, current).T
+
+
+def _sel(pred, a, b):
+    """Select lane-major pytree leaves by a [B] predicate."""
+    return jnp.where(pred.reshape((1,) * (a.ndim - 1) + (-1,)), a, b)
+
+
+def make_opponent_fn(config: DQNConfig, net: QNet):
+    """(key, board, current, opponent_params) -> int32[B] actions."""
+    if config.opponent == "random":
+
+        def fn(key, board, current, opp_params):
+            mask = bc.legal_mask_planes(board, current)
+            return bc.sample_random_lm(key, mask)
+
+    elif config.opponent == "greedy":
+
+        def fn(key, board, current, opp_params):
+            return greedy_jax.greedy_actions(key, board, current, config.greedy_depth)
+
+    elif config.opponent == "self":
+
+        def fn(key, board, current, opp_params):
+            mask = bc.legal_mask_planes(board, current).T
+            q = net.apply(opp_params, _obs_bf(board, current))
+            return masked_argmax(q, mask)
+
+    else:
+        raise ValueError(f"unknown opponent {config.opponent!r}")
+    return fn
+
+
+def _eps_greedy(key, q, mask_bf, eps):
+    """Masked epsilon-greedy (tianshou DQNPolicy exploration semantics)."""
+    B = q.shape[0]
+    k_u, k_r = jax.random.split(key)
+    greedy = masked_argmax(q, mask_bf)
+    rand = bc.sample_random_lm(k_r, mask_bf.T)
+    explore = jax.random.uniform(k_u, (B,)) < eps
+    return jnp.where(explore, rand, greedy)
+
+
+def make_learner_step(config: DQNConfig, opponent_fn):
+    """One learner transition: learner ply + opponent reply + auto-reset,
+    keeping every env at the learner's turn."""
+    lp = config.learner_player
+
+    def learner_step(state, actions, key, opp_params):
+        s1 = bc.step_planes(state, actions)
+        r = s1.rewards[lp]
+        k1, k2 = jax.random.split(key)
+        a_opp = opponent_fn(k1, s1.board, s1.current, opp_params)
+        s2 = bc.step_planes(s1, a_opp)  # frozen no-op where s1.done
+        r = r + s2.rewards[lp]
+        done = s2.done
+        s3 = bc.autoreset_planes(s2)
+        if lp == 1:
+            # after reset, player 0 opens; the opponent must move first
+            need = s3.current != lp
+            a0 = opponent_fn(k2, s3.board, s3.current, opp_params)
+            s4 = bc.step_planes(s3, a0)
+            s3 = jax.tree.map(partial(_sel, need), s4, s3)
+        return s3, r, done
+
+    return learner_step
+
+
+def init_env_state(config: DQNConfig, opponent_fn, opp_params, key):
+    state = bc.reset_planes(config.num_envs)
+    if config.learner_player == 1:
+        a0 = opponent_fn(key, state.board, state.current, opp_params)
+        state = bc.step_planes(state, a0)
+    return state
+
+
+def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
+    opponent_fn = make_opponent_fn(config, net)
+    learner_step = make_learner_step(config, opponent_fn)
+    L = config.segment_len + config.n_step - 1  # tail for full n-step horizon
+
+    def collect(ts: TrainState, env_state, key):
+        def body(carry, _):
+            env_state, key = carry
+            key, k_eps, k_step = jax.random.split(key, 3)
+            obs = _obs_bf(env_state.board, env_state.current)
+            mask = bc.legal_mask_planes(env_state.board, env_state.current).T
+            q = net.apply(ts.params, obs)
+            actions = _eps_greedy(k_eps, q, mask, config.eps_train)
+            new_state, r, done = learner_step(
+                env_state, actions, k_step, ts.opponent_params
+            )
+            obs_next = _obs_bf(new_state.board, new_state.current)
+            mask_next = bc.legal_mask_planes(new_state.board, new_state.current).T
+            out = replay.Segment(
+                obs, actions, r, done, obs_next, mask_next.astype(bool)
+            )
+            return (new_state, key), out
+
+        (env_state, key), seg = jax.lax.scan(body, (env_state, key), None, length=L)
+        return env_state, seg, key
+
+    def update(ts: TrainState, buffer, key):
+        obs, action, reward_n, done_n, obs_n, mask_n = replay.sample(
+            buffer, key, config.batch_size
+        )
+        q_next = net.apply(ts.target_params, obs_n)
+        target = reward_n + (config.gamma ** config.n_step) * (~done_n) * jnp.max(
+            masked_q(q_next, mask_n), axis=-1
+        )
+        target = jax.lax.stop_gradient(target)
+
+        def loss_fn(params):
+            q = net.apply(params, obs)
+            q_a = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+            return jnp.mean((q_a - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        grad_steps = ts.grad_steps + 1
+        sync = grad_steps % config.target_update_freq == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), ts.target_params, params
+        )
+        return (
+            ts._replace(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                grad_steps=grad_steps,
+            ),
+            loss,
+        )
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def train_iteration(ts: TrainState, env_state, buffer, key):
+        key, k_collect = jax.random.split(key)
+        env_state, seg, key = collect(ts, env_state, k_collect)
+        folded = replay.nstep_fold(seg, config.n_step, config.gamma)
+        # keep only positions with a full n-step horizon
+        folded = jax.tree.map(lambda x: x[: config.segment_len], folded)
+        buffer = replay.insert_segment(buffer, folded)
+
+        def upd(carry, _):
+            ts, key = carry
+            key, sub = jax.random.split(key)
+            ts, loss = update(ts, buffer, sub)
+            return (ts, key), loss
+
+        (ts, key), losses = jax.lax.scan(
+            upd, (ts, key), None, length=config.update_per_collect
+        )
+        return ts, env_state, buffer, key, losses.mean()
+
+    return train_iteration, opponent_fn
+
+
+def init_train_state(config: DQNConfig, net: QNet, optimizer, key) -> TrainState:
+    dummy = jnp.zeros((1, 117), jnp.int8)
+    params = net.init(key, dummy)
+    return TrainState(
+        params=params,
+        target_params=params,
+        opponent_params=params,
+        opt_state=optimizer.init(params),
+        grad_steps=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+def make_eval_fn(config: DQNConfig, net: QNet, opponent_fn):
+    """Win/loss/other counts of the eps_test-greedy learner vs the opponent."""
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def evaluate(params, opp_params, key, num_steps: int = 64, num_envs: int = 512):
+        state = bc.reset_planes(num_envs)
+        lp = config.learner_player
+        lsign = 1 if lp == 0 else -1
+
+        def ply(carry, _):
+            state, key = carry
+            key, k_eps, k_opp = jax.random.split(key, 3)
+            mask = bc.legal_mask_planes(state.board, state.current)
+            q = net.apply(params, _obs_bf(state.board, state.current))
+            a_learn = _eps_greedy(k_eps, q, mask.T, config.eps_test)
+            a_opp = opponent_fn(k_opp, state.board, state.current, opp_params)
+            actions = jnp.where(state.current == lp, a_learn, a_opp)
+            stepped = bc.step_planes(state, actions)
+            out = (
+                (stepped.winner == lsign).sum(dtype=jnp.int32),
+                (stepped.winner == -lsign).sum(dtype=jnp.int32),
+                (stepped.done & (stepped.winner == 0)).sum(dtype=jnp.int32),
+            )
+            return (bc.autoreset_planes(stepped), key), out
+
+        (_, key), (w, l, other) = jax.lax.scan(ply, (state, key), None, length=num_steps)
+        return w.sum(), l.sum(), other.sum()
+
+    return evaluate
+
+
+# ---------------------------------------------------------------------------
+# Host training loop
+# ---------------------------------------------------------------------------
+def train(
+    config: DQNConfig = DQNConfig(),
+    logger=None,
+    generations: int = 1,
+    checkpoint_dir: str | None = None,
+):
+    """Train a masked DQN; returns (final TrainState, history list).
+
+    ``generations > 1`` runs the self-play loop (opponent := learner snapshot
+    each generation, example_tianshou_DQN.py:335-369)."""
+    net = QNet(hidden_sizes=tuple(config.hidden_sizes))
+    optimizer = optax.adam(config.lr)
+    key = jax.random.PRNGKey(config.seed)
+    key, k_init, k_env = jax.random.split(key, 3)
+    ts = init_train_state(config, net, optimizer, k_init)
+
+    train_iteration, opponent_fn = make_train_iteration(config, net, optimizer)
+    evaluate = make_eval_fn(config, net, opponent_fn)
+    env_state = init_env_state(config, opponent_fn, ts.opponent_params, k_env)
+    buffer = replay.make_buffer(config.buffer_size)
+
+    history = []
+    for gen in range(generations):
+        for epoch in range(config.epoch):
+            losses = []
+            for _ in range(config.step_per_epoch):
+                key, sub = jax.random.split(key)
+                ts, env_state, buffer, key, loss = train_iteration(
+                    ts, env_state, buffer, sub
+                )
+                losses.append(loss)  # device scalar; sync once per epoch
+            losses = [float(x) for x in jax.device_get(losses)]
+            key, k_eval = jax.random.split(key)
+            w, l, other = evaluate(ts.params, ts.opponent_params, k_eval)
+            w, l, other = int(w), int(l), int(other)
+            win_rate = w / max(w + l + other, 1)
+            record = {
+                "generation": gen,
+                "epoch": epoch,
+                "loss": float(np.mean(losses)),
+                "win_rate": win_rate,
+                "wins": w,
+                "losses_games": l,
+                "other": other,
+                "grad_steps": int(ts.grad_steps),
+            }
+            history.append(record)
+            if logger is not None:
+                logger.log(record)
+            if checkpoint_dir is not None:
+                from gobblet_rl_tpu.train import checkpoint as ckpt
+
+                ckpt.save(checkpoint_dir, ts, step=int(ts.grad_steps))
+        # self-play generation hand-off (deepcopy equivalent)
+        ts = ts._replace(opponent_params=ts.params)
+    return ts, history

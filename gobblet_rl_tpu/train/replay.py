@@ -1,0 +1,119 @@
+"""On-device uniform replay buffer with n-step transitions.
+
+TPU-native replacement for Tianshou's host-RAM ``VectorReplayBuffer``
+(/root/reference/gobblet_rl/examples/example_tianshou_DQN.py:291 + SURVEY §2):
+fixed-shape jnp arrays that live in HBM, donated through the jitted train
+step, written by whole collected segments and sampled with a PRNG key —
+no host round-trips anywhere.
+
+n-step returns (n=3, gamma=0.9 in the reference DQN config,
+example_tianshou_DQN.py:169-175) are pre-folded at insert time from the
+collected segment.  Gobblet rewards are terminal-only, so the fold
+``r_n = sum_k gamma^k r_{t+k} (while not done)`` plus a masked
+``gamma^n Q_target(s_{t+n})`` bootstrap reproduces Tianshou's
+``compute_nstep_return`` semantics; the bootstrap itself is applied at
+sample time with the *current* target network (never stale).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ReplayBuffer(NamedTuple):
+    """Ring buffer of n-step transitions (all fixed-shape device arrays)."""
+
+    obs: jnp.ndarray        # int8[N, 117]
+    action: jnp.ndarray     # int32[N]
+    reward_n: jnp.ndarray   # float32[N] — folded n-step reward
+    done_n: jnp.ndarray     # bool[N] — episode ended within the n-step window
+    obs_n: jnp.ndarray      # int8[N, 117] — bootstrap observation s_{t+n}
+    mask_n: jnp.ndarray     # bool[N, 54] — legal mask at s_{t+n}
+    cursor: jnp.ndarray     # int32 — next write position
+    filled: jnp.ndarray     # int32 — number of valid entries
+
+
+def make_buffer(capacity: int, obs_dim: int = 117, num_actions: int = 54) -> ReplayBuffer:
+    return ReplayBuffer(
+        obs=jnp.zeros((capacity, obs_dim), jnp.int8),
+        action=jnp.zeros(capacity, jnp.int32),
+        reward_n=jnp.zeros(capacity, jnp.float32),
+        done_n=jnp.zeros(capacity, bool),
+        obs_n=jnp.zeros((capacity, obs_dim), jnp.int8),
+        mask_n=jnp.zeros((capacity, num_actions), bool),
+        cursor=jnp.int32(0),
+        filled=jnp.int32(0),
+    )
+
+
+class Segment(NamedTuple):
+    """A collected rollout segment, time-major batch-first."""
+
+    obs: jnp.ndarray        # int8[L, B, 117]
+    action: jnp.ndarray     # int32[L, B]
+    reward: jnp.ndarray     # float32[L, B] — learner-perspective reward
+    done: jnp.ndarray       # bool[L, B]
+    obs_next: jnp.ndarray   # int8[L, B, 117]
+    mask_next: jnp.ndarray  # bool[L, B, 54]
+
+
+def nstep_fold(seg: Segment, n_step: int, gamma: float) -> Segment:
+    """Fold a segment into n-step transitions (tail positions truncate to the
+    available horizon, matching segment-bounded collectors)."""
+    L = seg.reward.shape[0]
+    reward_n = seg.reward
+    done_n = seg.done
+    obs_n = seg.obs_next
+    mask_n = seg.mask_next
+    discount = gamma
+    for k in range(1, n_step):
+        # shift rewards/dones by k, padding the tail with zeros/True-freeze
+        r_k = jnp.concatenate([seg.reward[k:], jnp.zeros_like(seg.reward[:k])])
+        d_k = jnp.concatenate([seg.done[k:], jnp.ones_like(seg.done[:k])])
+        o_k = jnp.concatenate([seg.obs_next[k:], seg.obs_next[-1:].repeat(k, 0)])
+        m_k = jnp.concatenate([seg.mask_next[k:], seg.mask_next[-1:].repeat(k, 0)])
+        live = ~done_n  # episode still running after previous steps
+        reward_n = reward_n + discount * live * r_k
+        obs_n = jnp.where(live[..., None], o_k, obs_n)
+        mask_n = jnp.where(live[..., None], m_k, mask_n)
+        done_n = done_n | d_k
+        discount *= gamma
+    return Segment(seg.obs, seg.action, reward_n, done_n, obs_n, mask_n)
+
+
+def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
+    """Write all L*B transitions round-robin starting at the cursor."""
+    L, B = seg.action.shape
+    count = L * B
+    capacity = buffer.obs.shape[0]
+    idx = (buffer.cursor + jnp.arange(count)) % capacity
+
+    def flat(x):
+        return x.reshape((count,) + x.shape[2:])
+
+    return ReplayBuffer(
+        obs=buffer.obs.at[idx].set(flat(seg.obs)),
+        action=buffer.action.at[idx].set(flat(seg.action)),
+        reward_n=buffer.reward_n.at[idx].set(flat(seg.reward)),
+        done_n=buffer.done_n.at[idx].set(flat(seg.done)),
+        obs_n=buffer.obs_n.at[idx].set(flat(seg.obs_next)),
+        mask_n=buffer.mask_n.at[idx].set(flat(seg.mask_next)),
+        cursor=(buffer.cursor + count) % capacity,
+        filled=jnp.minimum(buffer.filled + count, capacity),
+    )
+
+
+def sample(buffer: ReplayBuffer, key: jax.Array, batch_size: int):
+    """Uniform minibatch over the filled prefix."""
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buffer.filled, 1))
+    return (
+        buffer.obs[idx],
+        buffer.action[idx],
+        buffer.reward_n[idx],
+        buffer.done_n[idx],
+        buffer.obs_n[idx],
+        buffer.mask_n[idx],
+    )
