@@ -1,0 +1,46 @@
+"""Self-play PPO entry point — working replacement for
+/root/reference/gobblet_rl/examples/example_RLlib.py (shipped broken, C14)."""
+
+import argparse
+import os
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--gamma", type=float, default=0.99)
+    parser.add_argument("--iterations", type=int, default=64)
+    parser.add_argument("--num-envs", type=int, default=512)
+    parser.add_argument("--segment-len", type=int, default=32)
+    parser.add_argument("--model", type=str, default="mlp", choices=["mlp", "conv"])
+    parser.add_argument("--shared-policy", action="store_true",
+                        help="one policy for both players (else one per player, "
+                        "like the RLlib multiagent policy mapping)")
+    parser.add_argument("--logdir", type=str, default="log")
+    return parser
+
+
+def main(args=None):
+    args = args or get_parser().parse_known_args()[0]
+    from gobblet_rl_tpu.train import ppo
+    from gobblet_rl_tpu.train.logging import make_logger
+
+    config = ppo.PPOConfig(
+        seed=args.seed,
+        lr=args.lr,
+        gamma=args.gamma,
+        iterations=args.iterations,
+        num_envs=args.num_envs,
+        segment_len=args.segment_len,
+        model=args.model,
+        shared_policy=args.shared_policy,
+    )
+    logger = make_logger(os.path.join(args.logdir, "gobblet_rl_tpu", "ppo"), vars(args))
+    st, history = ppo.train(config, logger=logger)
+    print(f"final: {history[-1]}")
+    return st, history
+
+
+if __name__ == "__main__":
+    main()

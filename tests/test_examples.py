@@ -1,0 +1,115 @@
+"""Examples and periphery: CLI smoke runs (headless), GIF recorder, session
+stats dict shape, logger output."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {
+    **os.environ,
+    "SDL_VIDEODRIVER": "dummy",
+    "SDL_AUDIODRIVER": "dummy",
+    "JAX_PLATFORMS": "cpu",
+    "PYTHONPATH": REPO,
+}
+
+
+def run_example(args, timeout=240):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+def test_example_basic_text():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_basic",
+         "--render_mode", "text", "--seed", "1"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TURN: 1" in r.stdout
+    assert "Reward" in r.stdout
+
+
+def test_example_greedy_watch_text():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_greedy",
+         "--render_mode", "text", "--seed", "2", "--depth", "1"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Final rewards" in r.stdout
+
+
+def test_main_random_text():
+    r = run_example(["main_random.py", "--render_mode", "text", "--seed", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TURN" in r.stdout
+
+
+def test_example_dqn_watch_text():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_dqn",
+         "--watch", "--render_mode", "text", "--opponent", "random",
+         "--seed", "4"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Final rewards" in r.stdout
+
+
+def test_gif_recorder(tmp_path):
+    from gobblet_rl_tpu.render.gif import GIFRecorder
+
+    out = str(tmp_path / "test.gif")
+    rec = GIFRecorder(out_file=out)
+    for i in range(5):
+        rec.capture_frame(np.full((64, 64, 3), i * 40, np.uint8))
+    rec.end_recording()
+    assert os.path.exists(out)
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.format == "GIF"
+    img.seek(4)  # at least 5 frames
+
+
+def test_session_stats_dict_shape():
+    """collect_result returns the reference collector's dict shape
+    (test_manual_policy_collector.py:484-495)."""
+    from gobblet_rl_tpu import gobblet_v1
+    from gobblet_rl_tpu.interactive.session import GameSession
+
+    env = gobblet_v1.env(render_mode=None)
+    session = GameSession(env)
+    result = session.collect_result(np.array(18))
+    expected_keys = {"n/ep", "n/st", "rews", "lens", "idxs", "rew", "len",
+                     "rew_std", "len_std"}
+    assert set(result) == expected_keys
+    assert result["n/ep"] == 0 and result["n/st"] == 1
+    assert result["rews"].dtype == np.float64 and len(result["rews"]) == 0
+
+
+def test_metrics_logger(tmp_path):
+    from gobblet_rl_tpu.train.logging import make_logger
+
+    logger = make_logger(str(tmp_path / "log"), {"seed": 1})
+    logger.log({"loss": 0.5, "win_rate": 0.9, "grad_steps": 10})
+    logger.close()
+    lines = open(tmp_path / "log" / "history.jsonl").read().strip().split("\n")
+    rec = json.loads(lines[0])
+    assert rec["loss"] == 0.5
+
+
+def test_adapters_raise_cleanly_without_frameworks():
+    try:
+        import tianshou  # noqa: F401
+
+        pytest.skip("tianshou installed; adapter import should succeed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="tianshou is not installed"):
+        import gobblet_rl_tpu.adapters.tianshou_adapter  # noqa: F401
