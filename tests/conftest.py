@@ -7,7 +7,10 @@ task brief: multi-chip sharding is validated on virtual CPU devices).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session may default to a TPU platform
+# Force CPU unless explicitly running the TPU-marked tests
+# (GOBBLET_TEST_TPU=1 python -m pytest tests -m slow).
+if not os.environ.get("GOBBLET_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,7 +19,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 # jax_platforms at import time; pin it back to cpu after import.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("GOBBLET_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Make the repo importable when pytest is run from anywhere.
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
