@@ -40,6 +40,40 @@ def restore(directory: str, template):
     return restored, step
 
 
+def save_full(directory: str, train_state, env_state, buffer, key, step: int) -> None:
+    """Full actor-learner resume point (SURVEY §5): learner/target/opponent
+    params + optimizer, the batched env state, the replay ring buffer and
+    the PRNG key — everything needed to continue bit-for-bit."""
+    payload = {
+        "train_state": train_state,
+        "env_state": env_state,
+        "buffer": buffer,
+        "key": key,
+    }
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_full(directory: str, train_state, env_state, buffer, key):
+    """Restore the latest full resume point into the given templates."""
+    template = {
+        "train_state": train_state,
+        "env_state": env_state,
+        "buffer": buffer,
+        "key": key,
+    }
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None, None
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return restored, step
+
+
 def save_params(path: str, params) -> None:
     """Standalone params dump (policy.pth equivalent)."""
     ckptr = ocp.StandardCheckpointer()

@@ -283,11 +283,16 @@ def train(
     logger=None,
     generations: int = 1,
     checkpoint_dir: str | None = None,
+    full_resume_dir: str | None = None,
 ):
     """Train a masked DQN; returns (final TrainState, history list).
 
     ``generations > 1`` runs the self-play loop (opponent := learner snapshot
-    each generation, example_tianshou_DQN.py:335-369)."""
+    each generation, example_tianshou_DQN.py:335-369).
+
+    ``full_resume_dir`` saves/restores the COMPLETE actor-learner state
+    (params + optimizer + env batch + replay buffer + PRNG key) each epoch,
+    so an interrupted run continues exactly where it stopped."""
     net = QNet(hidden_sizes=tuple(config.hidden_sizes))
     optimizer = optax.adam(config.lr)
     key = jax.random.PRNGKey(config.seed)
@@ -298,6 +303,16 @@ def train(
     evaluate = make_eval_fn(config, net, opponent_fn)
     env_state = init_env_state(config, opponent_fn, ts.opponent_params, k_env)
     buffer = replay.make_buffer(config.buffer_size)
+
+    if full_resume_dir is not None:
+        from gobblet_rl_tpu.train import checkpoint as ckpt
+
+        restored, step = ckpt.restore_full(full_resume_dir, ts, env_state, buffer, key)
+        if restored is not None:
+            ts = restored["train_state"]
+            env_state = restored["env_state"]
+            buffer = restored["buffer"]
+            key = restored["key"]
 
     history = []
     for gen in range(generations):
@@ -331,6 +346,13 @@ def train(
                 from gobblet_rl_tpu.train import checkpoint as ckpt
 
                 ckpt.save(checkpoint_dir, ts, step=int(ts.grad_steps))
+            if full_resume_dir is not None:
+                from gobblet_rl_tpu.train import checkpoint as ckpt
+
+                ckpt.save_full(
+                    full_resume_dir, ts, env_state, buffer, key,
+                    step=int(ts.grad_steps),
+                )
         # self-play generation hand-off (deepcopy equivalent)
         ts = ts._replace(opponent_params=ts.params)
     return ts, history

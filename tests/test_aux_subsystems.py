@@ -1,0 +1,63 @@
+"""Aux subsystems (SURVEY §5): profiling counters, checkify invariants,
+full actor-learner resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import checkify
+
+from gobblet_rl_tpu.ops import batched_core as bc
+from gobblet_rl_tpu.ops import debug
+from gobblet_rl_tpu.train import dqn
+from gobblet_rl_tpu.utils import profiling
+
+
+def test_throughput_meter():
+    t = profiling.Throughput()
+    x = jnp.ones(1024).sum()
+    rate = t.rate(1000, x)
+    assert rate > 0
+
+
+def test_invariants_catch_corruption():
+    state = bc.reset_planes(8)
+    assert bool(debug.state_invariants(state).all())
+    # corrupt one env: duplicate piece id 3 on the medium level
+    board = np.asarray(state.board).copy()
+    board[1, 0, 2] = 3
+    board[1, 5, 2] = 3
+    bad = state._replace(board=jnp.asarray(board))
+    ok = np.asarray(debug.state_invariants(bad))
+    assert not ok[2] and ok[[0, 1, 3, 4, 5, 6, 7]].all()
+    # wrong level placement
+    board2 = np.asarray(state.board).copy()
+    board2[0, 0, 1] = 5  # large piece on small level
+    bad2 = state._replace(board=jnp.asarray(board2))
+    assert not bool(debug.state_invariants(bad2)[1])
+
+
+def test_checked_step_raises_on_bad_action():
+    state = bc.reset_planes(4)
+    step = jax.jit(checkify.checkify(debug.checked_step))
+    err, _ = step(state, jnp.asarray([0, 1, 2, 60]))
+    try:
+        err.throw()
+        raised = False
+    except Exception as e:
+        raised = "action out of range" in str(e)
+    assert raised
+    err, new_state = step(state, jnp.asarray([0, 1, 2, 3]))
+    err.throw()  # no violation
+    assert int(new_state.turn[0]) == 1
+
+
+def test_full_resume_roundtrip(tmp_path):
+    config = dqn.DQNConfig(
+        buffer_size=2048, epoch=1, step_per_epoch=2, segment_len=4,
+        update_per_collect=1, batch_size=64, num_envs=32, opponent="random",
+    )
+    d = str(tmp_path / "full")
+    ts1, hist1 = dqn.train(config, full_resume_dir=d)
+    # resuming continues from the stored grad_steps instead of restarting
+    ts2, hist2 = dqn.train(config, full_resume_dir=d)
+    assert int(ts2.grad_steps) == 2 * int(ts1.grad_steps)
