@@ -1,0 +1,156 @@
+"""Batched policy tournaments: win-rates and Elo over thousands of games.
+
+Evaluation tooling the reference lacks (it eyeballs rendered games and a
+single win-rate stop criterion, example_tianshou_DQN.py:430-431).  Every
+policy is a jittable ``(key, board_lm, current) -> actions`` function over
+the lane-major engine, so a full match of B games runs as one fused program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gobblet_rl_tpu.ops import batched_core as bc
+from gobblet_rl_tpu.policies import greedy_jax
+
+PolicyFn = Callable[[jax.Array, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def random_policy() -> PolicyFn:
+    def fn(key, board, current):
+        return bc.sample_random_lm(key, bc.legal_mask_planes(board, current))
+
+    return fn
+
+
+def greedy_policy(depth: int = 2) -> PolicyFn:
+    def fn(key, board, current):
+        return greedy_jax.greedy_actions(key, board, current, depth)
+
+    return fn
+
+
+def dqn_policy(net, params, eps: float = 0.0) -> PolicyFn:
+    """Masked (eps-)greedy Q policy from trained params."""
+    from gobblet_rl_tpu.models.mlp import masked_argmax
+
+    def fn(key, board, current):
+        mask = bc.legal_mask_planes(board, current)
+        q = net.apply(params, bc.features_lm(board, current).T)
+        greedy = masked_argmax(q, mask.T)
+        if eps == 0.0:
+            return greedy
+        k_u, k_r = jax.random.split(key)
+        rand = bc.sample_random_lm(k_r, mask)
+        explore = jax.random.uniform(k_u, greedy.shape) < eps
+        return jnp.where(explore, rand, greedy)
+
+    return fn
+
+
+def ppo_policy(net, params, sample: bool = False) -> PolicyFn:
+    """Masked actor policy (argmax or sampled) from trained params."""
+    from gobblet_rl_tpu.models import actor_critic as ac
+
+    def fn(key, board, current):
+        mask = bc.legal_mask_planes(board, current)
+        logits, _ = net.apply(params, bc.features_lm(board, current).T)
+        if sample:
+            a, _ = ac.sample_masked(key, logits, mask.T)
+            return a
+        return jnp.argmax(ac.masked_logits(logits, mask.T), axis=-1).astype(jnp.int32)
+
+    return fn
+
+
+def play_match(
+    policy_a: PolicyFn,
+    policy_b: PolicyFn,
+    num_games: int = 512,
+    max_plies: int = 100,
+    seed: int = 0,
+    swap_colors: bool = True,
+) -> Dict[str, float]:
+    """A-vs-B match; with ``swap_colors`` half the games have B move first.
+
+    Returns win/loss/undecided fractions for policy A.
+    """
+
+    def run(first_is_a: bool, key, games: int):
+        state = bc.reset_planes(games)
+        a_player = 0 if first_is_a else 1
+
+        @jax.jit
+        def ply(carry, _):
+            state, key = carry
+            key, ka, kb = jax.random.split(key, 3)
+            act_a = policy_a(ka, state.board, state.current)
+            act_b = policy_b(kb, state.board, state.current)
+            actions = jnp.where(state.current == a_player, act_a, act_b)
+            stepped = bc.step_planes(state, actions)
+            # no auto-reset: each lane is one game
+            return (stepped, key), stepped.winner
+
+        (state, key), winners = jax.lax.scan(ply, (state, key), None, length=max_plies)
+        final = state.winner  # frozen at first win
+        a_sign = 1 if a_player == 0 else -1
+        wins = (final == a_sign).sum()
+        losses = (final == -a_sign).sum()
+        return int(wins), int(losses), games - int(wins) - int(losses)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    if swap_colors:
+        half = num_games // 2
+        w1, l1, u1 = run(True, k1, half)
+        w2, l2, u2 = run(False, k2, num_games - half)
+        wins, losses, undecided = w1 + w2, l1 + l2, u1 + u2
+    else:
+        wins, losses, undecided = run(True, k1, num_games)
+    return {
+        "games": num_games,
+        "wins": wins,
+        "losses": losses,
+        "undecided": undecided,
+        "win_rate": wins / max(wins + losses, 1),
+    }
+
+
+def round_robin(
+    policies: Dict[str, PolicyFn],
+    num_games: int = 256,
+    seed: int = 0,
+) -> Dict[str, Dict]:
+    """All-pairs matches + simple Elo fit (400-scale, 32k games anchor)."""
+    names = list(policies)
+    results: Dict[str, Dict] = {n: {"wins": 0, "losses": 0} for n in names}
+    pair_results = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            match = play_match(policies[a], policies[b], num_games, seed=seed)
+            pair_results[(a, b)] = match
+            results[a]["wins"] += match["wins"]
+            results[a]["losses"] += match["losses"]
+            results[b]["wins"] += match["losses"]
+            results[b]["losses"] += match["wins"]
+
+    # iterative Elo fit over pairwise scores
+    elo = {n: 1000.0 for n in names}
+    for _ in range(200):
+        for (a, b), match in pair_results.items():
+            total = match["wins"] + match["losses"]
+            if total == 0:
+                continue
+            score = match["wins"] / total
+            expected = 1.0 / (1.0 + 10 ** ((elo[b] - elo[a]) / 400.0))
+            delta = 8.0 * (score - expected)
+            elo[a] += delta
+            elo[b] -= delta
+    for n in names:
+        results[n]["elo"] = round(elo[n], 1)
+    return {"standings": results, "pairs": {f"{a} vs {b}": m for (a, b), m in pair_results.items()}}

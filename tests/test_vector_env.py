@@ -10,7 +10,7 @@ from gobblet_rl_tpu.env import vector
 
 def test_vector_reset_shapes():
     states, ts = vector.vector_reset(16)
-    assert states.board.shape == (16, 3, 9)
+    assert states.board.shape == (3, 9, 16)
     assert ts.obs.shape == (16, 3, 3, 13)
     assert ts.mask.shape == (16, 54)
     assert bool(ts.mask.all())
@@ -36,6 +36,7 @@ def test_vector_step_matches_host_replay():
             actions[b] = rng.choice(legal)
         states, ts = vector.vector_step(states, jnp.asarray(actions))
 
+        dev_boards = np.transpose(np.asarray(states.board), (2, 0, 1))
         for b in range(B):
             if host_done[b]:
                 # env auto-reset previously; replay fresh
@@ -53,15 +54,11 @@ def test_vector_step_matches_host_replay():
                 )
                 host_done[b] = True
                 # auto-reset already applied on device
-                np.testing.assert_array_equal(
-                    np.asarray(states.board[b]), rules_np.empty_board()
-                )
+                np.testing.assert_array_equal(dev_boards[b], rules_np.empty_board())
             else:
                 assert not bool(ts.done[b])
                 host_player[b] = 1 - host_player[b]
-                np.testing.assert_array_equal(
-                    np.asarray(states.board[b]), host_boards[b]
-                )
+                np.testing.assert_array_equal(dev_boards[b], host_boards[b])
 
 
 def test_fused_rollout_statistics():
