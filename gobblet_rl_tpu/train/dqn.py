@@ -57,8 +57,13 @@ class DQNConfig:
     hidden_sizes: tuple = (128, 128, 128, 128)
     num_envs: int = 1024
     learner_player: int = 0
-    opponent: str = "random"          # "random" | "greedy" | "self"
+    opponent: str = "random"          # "random" | "greedy" | "self" | "mixed"
     greedy_depth: int = 2
+    # opponent == "mixed": per-iteration draw over (random, greedy, self).
+    # Plain generation self-play (deepcopy loop, example_tianshou_DQN.py:335-369)
+    # overfits to exploiting the frozen snapshot — measured in round 1: 99%
+    # vs the snapshot but 2% vs greedy.  Mixing keeps general strength.
+    mixed_weights: tuple = (0.25, 0.25, 0.5)
 
 
 class TrainState(NamedTuple):
@@ -293,13 +298,36 @@ def train(
     ``full_resume_dir`` saves/restores the COMPLETE actor-learner state
     (params + optimizer + env batch + replay buffer + PRNG key) each epoch,
     so an interrupted run continues exactly where it stopped."""
+    import dataclasses
+
     net = QNet(hidden_sizes=tuple(config.hidden_sizes))
     optimizer = optax.adam(config.lr)
     key = jax.random.PRNGKey(config.seed)
     key, k_init, k_env = jax.random.split(key, 3)
     ts = init_train_state(config, net, optimizer, k_init)
 
-    train_iteration, opponent_fn = make_train_iteration(config, net, optimizer)
+    rng_mix = np.random.default_rng(config.seed)
+    if config.opponent == "mixed":
+        variants = {
+            kind: make_train_iteration(
+                dataclasses.replace(config, opponent=kind), net, optimizer
+            )
+            for kind in ("random", "greedy", "self")
+        }
+        kinds = list(variants)
+
+        def pick_iteration():
+            kind = rng_mix.choice(kinds, p=list(config.mixed_weights))
+            return variants[kind][0]
+
+        # evaluation + env bootstrap use the greedy opponent (the hardest)
+        train_iteration, opponent_fn = variants["greedy"]
+    else:
+        train_iteration, opponent_fn = make_train_iteration(config, net, optimizer)
+
+        def pick_iteration():
+            return train_iteration
+
     evaluate = make_eval_fn(config, net, opponent_fn)
     env_state = init_env_state(config, opponent_fn, ts.opponent_params, k_env)
     buffer = replay.make_buffer(config.buffer_size)
@@ -320,7 +348,7 @@ def train(
             losses = []
             for _ in range(config.step_per_epoch):
                 key, sub = jax.random.split(key)
-                ts, env_state, buffer, key, loss = train_iteration(
+                ts, env_state, buffer, key, loss = pick_iteration()(
                     ts, env_state, buffer, sub
                 )
                 losses.append(loss)  # device scalar; sync once per epoch

@@ -128,3 +128,11 @@ def test_checkpoint_roundtrip(tmp_path):
         restored.params,
         ts.params,
     )
+
+
+def test_mixed_opponent_training_runs():
+    """opponent='mixed' rotates per-iteration among random/greedy/self."""
+    config = small_config(opponent="mixed", step_per_epoch=6)
+    ts, history = dqn.train(config, generations=2)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
