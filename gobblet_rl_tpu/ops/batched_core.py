@@ -229,26 +229,60 @@ def sample_random_lm(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(jnp.where(mask, g, -jnp.inf), axis=0).astype(jnp.int32)
 
 
+def apply_action_unchecked(board: jnp.ndarray, current: jnp.ndarray,
+                           actions: jnp.ndarray) -> jnp.ndarray:
+    """Placement only — caller guarantees ``actions`` are legal (e.g. sampled
+    from the mask) and the games are live; skips the covered/flat legality
+    re-derivation of :func:`step_planes` (~30% of the rollout hot loop)."""
+    sign = player_sign_planes(current)
+    piece = actions // 9 + 1
+    level = ((piece + 1) >> 1) - 1
+    signed = piece.astype(jnp.int8) * sign
+
+    pres = board == signed[None, None]
+    cell_oh = jnp.arange(9)[:, None] == (actions % 9)[None]
+    lvl_oh = jnp.arange(3)[:, None] == level[None]
+    place = lvl_oh[:, None, :] & cell_oh[None, :, :]
+    lifted = jnp.where(pres, jnp.int8(0), board)
+    return jnp.where(place, signed[None, None], lifted)
+
+
 # ---------------------------------------------------------------------------
 # Fused rollout
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnums=(2,))
 def rollout_random(state: PlanesState, key: jax.Array, num_steps: int):
     """Random-admissible self-play rollout, fully fused; returns aggregate
-    episode/win statistics (the bench hot loop)."""
+    episode/win statistics (the bench hot loop).
+
+    Uses the unchecked fast path: every state entering a ply is live
+    (auto-reset runs inside the loop) and every action is drawn from the
+    legal mask, so legality re-validation and done-freezing are skipped.
+    """
 
     def body(carry, _):
         state, key = carry
         key, sub = jax.random.split(key)
         mask = legal_mask_planes(state.board, state.current)
         actions = sample_random_lm(sub, mask)
-        stepped = step_planes(state, actions)
+        board = apply_action_unchecked(state.board, state.current, actions)
+        winner = winner_planes(flat_planes(board))
+        done = winner != 0
         out = (
-            stepped.done.sum(dtype=jnp.int32),
-            (stepped.winner == 1).sum(dtype=jnp.int32),
-            (stepped.winner == -1).sum(dtype=jnp.int32),
+            done.sum(dtype=jnp.int32),
+            (winner == 1).sum(dtype=jnp.int32),
+            (winner == -1).sum(dtype=jnp.int32),
         )
-        return (autoreset_planes(stepped), key), out
+        new_state = PlanesState(
+            board=jnp.where(done[None, None], jnp.int8(0), board),
+            current=jnp.where(done, 0, 1 - state.current),
+            turn=jnp.where(done, 0, state.turn + 1),
+            done=state.done,  # always False on this path
+            winner=state.winner,
+            last_action=actions.astype(jnp.int32),
+            rewards=state.rewards,
+        )
+        return (new_state, key), out
 
     (state, key), (eps, w1, w2) = jax.lax.scan(body, (state, key), None, length=num_steps)
     return state, key, {
