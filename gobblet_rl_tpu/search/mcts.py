@@ -1,0 +1,268 @@
+"""Batched Monte-Carlo tree search (AlphaZero-style PUCT), pure JAX.
+
+A capability the reference does not have (its strongest baseline is the
+depth-3 greedy scan, greedy_policy.py:158-208).  The search runs entirely on
+device with fixed-shape tree arrays, one tree per environment, batched with
+``vmap`` — ``num_sims`` network evaluations happen as B-wide batches, so the
+MXU sees full matmuls while the tree logic is scalar bookkeeping per lane.
+
+Design (single-env, vmapped):
+* arrays of ``max_nodes = num_sims + 1`` nodes: board, player-to-move,
+  terminal flag/value, per-action priors P / visit counts N / total value W,
+  child pointers, parent pointers;
+* simulation = PUCT select (Q + c * P * sqrt(sum N)/(1+N), illegal = -inf)
+  down to an unexpanded edge or terminal node -> expand with a masked-softmax
+  prior + value from the policy-value net (terminal nodes use the exact game
+  value) -> backup with sign flips (values are always from the perspective
+  of the player to move at the node);
+* the root action is the visit-count argmax (optionally sampled by visit
+  distribution for self-play exploration).
+
+The net is any ``(params, obs[B,117]) -> (logits[B,54], value[B])``
+callable, e.g. :class:`gobblet_rl_tpu.models.actor_critic.MLPActorCritic`.
+With an untrained net the search still plays tactically (the tree proves
+short forced wins); with a trained net it is the strongest policy in the
+framework (see tests/test_mcts.py and the tournament tool).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gobblet_rl_tpu.core import rules
+from gobblet_rl_tpu.core import types as T
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    num_sims: int = 64
+    c_puct: float = 1.5
+    max_depth: int = 40           # select-path cap (games are short)
+    temperature: float = 0.0      # 0 = argmax visits; >0 = sample visits^1/t
+
+
+def _evaluate(net_apply, params, board, player):
+    """(priors[54], value) for the player to move; masked softmax priors."""
+    from gobblet_rl_tpu.core import observe
+
+    planes = observe.observe_planes(board, player)
+    # (channel, cell) flatten order — matches ops.batched_core.features_lm,
+    # so params trained by dqn/ppo evaluate identically here
+    obs = jnp.transpose(planes, (2, 0, 1)).reshape(1, -1)
+    logits, value = net_apply(params, obs)
+    mask = rules.legal_mask(board, player)
+    masked = jnp.where(mask, logits[0], -1e9)
+    priors = jax.nn.softmax(masked)
+    # bound net values to (-1, 1): exact +-1 q-values then certify terminal
+    # (proven) outcomes, which final action selection can trust
+    return priors, jnp.tanh(value[0]), mask
+
+
+def _terminal_value(winner, player):
+    """Value from the perspective of ``player`` to move: if the game is over,
+    the previous mover won -> the player to move has lost."""
+    del winner, player
+    return jnp.float32(-1.0)
+
+
+def _mover_can_win(board, player):
+    """Exact 1-ply solver: does the player to move have an immediate win?
+
+    Used at expansion (MCTS-Solver style): such nodes are proven +1 for
+    their mover, so a single visit certifies the parent edge as a loss —
+    this is what makes blocking tactics reliable with few simulations.
+    """
+    mask = rules.legal_mask(board, player)
+
+    def winner_after(a):
+        return rules.line_winner(rules.apply_action(board, player, a, legal=mask[a]))
+
+    winners = jax.vmap(winner_after)(jnp.arange(54))
+    sign = jnp.where(player == 0, 1, -1).astype(winners.dtype)
+    return ((winners == sign) & mask).any()
+
+
+def mcts_search_single(net_apply, params, board, player, key, config: MCTSConfig):
+    """Run MCTS from one root; returns (visit_counts[54], root_q[54])."""
+    M = config.num_sims + 1
+
+    boards = jnp.zeros((M, 3, 9), jnp.int8).at[0].set(board)
+    players = jnp.zeros(M, jnp.int32).at[0].set(player)
+    terminal = jnp.zeros(M, bool)
+    node_value = jnp.zeros(M, jnp.float32)  # stored leaf value (proven leaves)
+    P = jnp.zeros((M, 54), jnp.float32)
+    N = jnp.zeros((M, 54), jnp.float32)
+    W = jnp.zeros((M, 54), jnp.float32)
+    legal = jnp.zeros((M, 54), bool)
+    children = jnp.full((M, 54), -1, jnp.int32)
+    parent = jnp.full(M, -1, jnp.int32)
+    parent_action = jnp.full(M, -1, jnp.int32)
+
+    priors0, _, mask0 = _evaluate(net_apply, params, board, player)
+    P = P.at[0].set(priors0)
+    legal = legal.at[0].set(mask0)
+
+    tree0 = (boards, players, terminal, node_value, P, N, W, legal, children,
+             parent, parent_action)
+
+    def puct_action(tree, node):
+        boards, players, terminal, node_value, P, N, W, legal, children, parent, pa = tree
+        n, w, p, m = N[node], W[node], P[node], legal[node]
+        q = jnp.where(n > 0, w / jnp.maximum(n, 1), 0.0)
+        u = config.c_puct * p * jnp.sqrt(jnp.maximum(n.sum(), 1.0)) / (1.0 + n)
+        score = jnp.where(m, q + u, -jnp.inf)
+        return jnp.argmax(score).astype(jnp.int32)
+
+    def simulate(sim, tree):
+        boards, players, terminal, node_value, P, N, W, legal, children, parent, pa = tree
+
+        # ---- SELECT: walk down until unexpanded edge or terminal node ----
+        t = (boards, players, terminal, node_value, P, N, W, legal, children,
+             parent, pa)
+
+        def cond(st):
+            node, action, depth = st
+            unexpanded = children[node, action] < 0
+            return (~terminal[node]) & (~unexpanded) & (depth < config.max_depth)
+
+        def step_down(st):
+            node, action, depth = st
+            nxt = children[node, action]
+            return nxt, puct_action(t, nxt), depth + 1
+
+        root_action = puct_action(t, jnp.int32(0))
+        node, action, _ = jax.lax.while_loop(
+            cond, step_down, (jnp.int32(0), root_action, jnp.int32(0))
+        )
+
+        # ---- EXPAND at (node, action) -> new node index sim+1 ----
+        new_idx = jnp.int32(sim + 1)
+        is_term = terminal[node]
+        nboard = rules.apply_action(boards[node], players[node], action)
+        nplayer = 1 - players[node]
+        winner = rules.line_winner(nboard)
+        nterminal = winner != 0
+
+        npriors, nvalue, nmask = _evaluate(net_apply, params, nboard, nplayer)
+        can_win = _mover_can_win(nboard, nplayer)
+        # proven leaves: game over (-1 for the mover) or mover-wins-in-1 (+1);
+        # both are marked terminal so the search never descends past them
+        proven = nterminal | can_win
+        leaf_value = jnp.where(
+            nterminal, _terminal_value(winner, nplayer),
+            jnp.where(can_win, jnp.float32(1.0), nvalue),
+        )
+        nterminal = proven
+
+        # when the selected node was already terminal, re-use its value
+        # (visits keep accumulating on its parent edge) and skip expansion
+        expand = ~is_term
+        boards = boards.at[new_idx].set(jnp.where(expand, nboard, boards[new_idx]))
+        players = players.at[new_idx].set(jnp.where(expand, nplayer, players[new_idx]))
+        terminal = terminal.at[new_idx].set(jnp.where(expand, nterminal, terminal[new_idx]))
+        P = P.at[new_idx].set(jnp.where(expand, npriors, P[new_idx]))
+        legal = legal.at[new_idx].set(jnp.where(expand, nmask, legal[new_idx]))
+        node_value = node_value.at[new_idx].set(
+            jnp.where(expand, leaf_value, node_value[new_idx])
+        )
+        children = children.at[node, action].set(
+            jnp.where(expand, new_idx, children[node, action])
+        )
+        parent = parent.at[new_idx].set(jnp.where(expand, node, parent[new_idx]))
+        pa = pa.at[new_idx].set(jnp.where(expand, action, pa[new_idx]))
+
+        # value to back up, from the perspective of the player to move at
+        # the leaf; reselected proven leaves back up their stored value
+        backup_value = jnp.where(is_term, node_value[node], leaf_value)
+        start_node = jnp.where(is_term, node, new_idx)
+
+        # ---- BACKUP along parent pointers ----
+        def bcond(st):
+            node, value, N_, W_ = st
+            return node >= 0
+
+        def bstep(st):
+            node, value, N_, W_ = st
+            par = jnp.where(node == 0, -1, parent[node])
+            act = pa[node]
+            # edge (par, act) holds statistics from par's mover perspective:
+            # value at child is for child's mover == -value for par's mover
+            edge_value = -value
+            N_ = jnp.where(par >= 0, N_.at[par, act].add(1.0), N_)
+            W_ = jnp.where(par >= 0, W_.at[par, act].add(edge_value), W_)
+            return par, edge_value, N_, W_
+
+        # handle the terminal-reselect case: its backup starts at the edge
+        # into `node` itself
+        def bstep_start(N_, W_):
+            return jax.lax.while_loop(
+                bcond, bstep, (start_node, backup_value, N_, W_)
+            )
+
+        _, _, N, W = bstep_start(N, W)
+        return (boards, players, terminal, node_value, P, N, W, legal, children,
+                parent, pa)
+
+    tree = jax.lax.fori_loop(0, config.num_sims, simulate, tree0)
+    boards, players, terminal, node_value, P, N, W, legal, children, parent, pa = tree
+    root_q = jnp.where(N[0] > 0, W[0] / jnp.maximum(N[0], 1.0), -jnp.inf)
+
+    # exact 1-ply root solve: actions that win immediately (same rule the
+    # greedy baseline applies first, greedy_policy.py:84-94)
+    def winner_after(a):
+        return rules.line_winner(rules.apply_action(board, player, a, legal=mask0[a]))
+
+    winners = jax.vmap(winner_after)(jnp.arange(54))
+    sign = jnp.where(player == 0, 1, -1).astype(winners.dtype)
+    root_win = (winners == sign) & mask0
+    return N[0], root_q, root_win
+
+
+def mcts_search(net_apply, params, boards_bf, players, key, config: MCTSConfig):
+    """vmapped search: boards_bf int8[B, 3, 9], players int32[B] ->
+    (visits f32[B, 54], q f32[B, 54], root_win bool[B, 54])."""
+    keys = jax.random.split(key, boards_bf.shape[0])
+    fn = jax.vmap(
+        lambda b, p, k: mcts_search_single(net_apply, params, b, p, k, config)
+    )
+    return fn(boards_bf, players, keys)
+
+
+def mcts_policy(net, params, config: MCTSConfig = MCTSConfig()):
+    """Tournament-compatible policy: (key, board_lm[3,9,B], current[B]) ->
+    actions int32[B] (see eval/tournament.py)."""
+
+    def net_apply(p, obs):
+        logits, value = net.apply(p, obs)
+        return logits, value
+
+    @jax.jit
+    def fn(key, board_lm, current):
+        boards_bf = jnp.transpose(board_lm, (2, 0, 1))
+        k_search, k_sample = jax.random.split(key)
+        visits, q, root_win = mcts_search(
+            net_apply, params, boards_bf, current, k_search, config
+        )
+        # proven outcomes dominate visit counts: exact immediate wins first
+        # (root 1-ply solve), then search-proven wins (q == +1 is proof:
+        # values are tanh-bounded so only terminal backups reach exactly 1),
+        # and search-proven losses are avoided
+        score = (visits + 1e9 * root_win + 1e6 * (q >= 0.999)
+                 - 1e6 * (jnp.isfinite(q) & (q <= -0.999)))
+        # never emit an illegal action, even when all visited edges are
+        # proven losses and unvisited edges tie at score 0
+        from gobblet_rl_tpu.ops import batched_core as bc
+
+        root_mask = bc.legal_mask_planes(board_lm, current).T
+        score = jnp.where(root_mask, score, -jnp.inf)
+        if config.temperature > 0:
+            logits = jnp.log(jnp.maximum(score, 1e-9)) / config.temperature
+            return jax.random.categorical(k_sample, logits, axis=-1).astype(jnp.int32)
+        return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+    return fn
