@@ -9,8 +9,7 @@ framework-free path used by the shipped examples.
 
 from __future__ import annotations
 
-from copy import deepcopy
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Optional
 
 import numpy as np
 

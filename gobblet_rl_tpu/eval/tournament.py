@@ -8,8 +8,7 @@ the lane-major engine, so a full match of B games runs as one fused program.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Sequence
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -28,9 +28,6 @@ framework (see tests/test_mcts.py and the tournament tool).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
