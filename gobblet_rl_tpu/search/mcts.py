@@ -41,6 +41,10 @@ class MCTSConfig:
     c_puct: float = 1.5
     max_depth: int = 40           # select-path cap (games are short)
     temperature: float = 0.0      # 0 = argmax visits; >0 = sample visits^1/t
+    # AlphaZero root exploration noise (self-play only): priors at the root
+    # are mixed with Dirichlet(alpha) noise over the legal actions.
+    dirichlet_alpha: float = 0.0  # 0 = off
+    noise_frac: float = 0.25
 
 
 def _evaluate(net_apply, params, board, player):
@@ -101,6 +105,11 @@ def mcts_search_single(net_apply, params, board, player, key, config: MCTSConfig
     parent_action = jnp.full(M, -1, jnp.int32)
 
     priors0, _, mask0 = _evaluate(net_apply, params, board, player)
+    if config.dirichlet_alpha > 0:
+        g = jax.random.gamma(key, config.dirichlet_alpha, (54,), jnp.float32)
+        g = jnp.where(mask0, g, 0.0)
+        noise = g / jnp.maximum(g.sum(), 1e-9)
+        priors0 = (1.0 - config.noise_frac) * priors0 + config.noise_frac * noise
     P = P.at[0].set(priors0)
     legal = legal.at[0].set(mask0)
 

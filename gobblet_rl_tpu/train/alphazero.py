@@ -1,0 +1,283 @@
+"""AlphaZero-style training: batched MCTS self-play + policy/value learning.
+
+A capability the reference does not have — its strongest trainable agent is
+the Tianshou DQN vs a depth-2 greedy opponent
+(/root/reference/gobblet_rl/examples/example_tianshou_DQN.py:199-202), and
+its strongest fixed baseline is the depth-3 greedy scan
+(/root/reference/gobblet_rl/game/greedy_policy.py:158-208).  This module
+closes the loop on :mod:`gobblet_rl_tpu.search.mcts`: a single shared
+policy/value network plays both sides, every ply of every game in the batch
+is chosen by the vmapped PUCT search, and the network is trained to match
+the search's visit distribution (policy target) and the final game outcome
+(value target).
+
+TPU shape of the program: one ``train_iteration`` is a single jitted XLA
+program — ``segment_len`` scan steps, each running ``num_sims`` batched
+network evaluations (B-wide matmuls on the MXU) plus the lane-major env
+step, followed by an in-graph reverse-scan outcome backfill and minibatched
+SGD.  No host round-trips inside an iteration.
+
+Self-play discipline (standard AlphaZero, Silver et al. 2017):
+* root Dirichlet noise on the priors (exploration);
+* moves sampled proportional to visit counts for the first ``temp_moves``
+  plies of each game, visit-argmax (with exact proven-win override from the
+  root 1-ply solver) afterwards;
+* value target z = game outcome from the mover's perspective; plies of
+  games that do not finish inside the collected segment are masked out of
+  the loss via the ``valid`` flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gobblet_rl_tpu.models import actor_critic as ac
+from gobblet_rl_tpu.ops import batched_core as bc
+from gobblet_rl_tpu.search import mcts
+from gobblet_rl_tpu.train.dqn import _obs_bf
+
+
+@dataclasses.dataclass(frozen=True)
+class AZConfig:
+    seed: int = 42
+    lr: float = 2e-3
+    weight_decay: float = 1e-4
+    max_grad_norm: float = 1.0
+    value_coef: float = 1.0
+    # self-play
+    num_envs: int = 256
+    num_sims: int = 64
+    c_puct: float = 1.5
+    dirichlet_alpha: float = 0.5
+    noise_frac: float = 0.25
+    temp_moves: int = 8
+    segment_len: int = 48
+    # optimization
+    batch_size: int = 2048
+    updates_per_iter: int = 8
+    iterations: int = 32
+    # model
+    model: str = "conv"   # "conv" | "mlp"
+    channels: int = 64
+    blocks: int = 2
+    hidden_sizes: tuple = (128, 128)
+
+
+class AZState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: Any   # bc.PlanesState
+
+
+def make_net(config: AZConfig):
+    if config.model == "conv":
+        return ac.ConvActorCritic(channels=config.channels, blocks=config.blocks)
+    return ac.MLPActorCritic(hidden_sizes=tuple(config.hidden_sizes))
+
+
+def mcts_config(config: AZConfig, selfplay: bool = True) -> mcts.MCTSConfig:
+    return mcts.MCTSConfig(
+        num_sims=config.num_sims,
+        c_puct=config.c_puct,
+        dirichlet_alpha=config.dirichlet_alpha if selfplay else 0.0,
+        noise_frac=config.noise_frac if selfplay else 0.0,
+    )
+
+
+def make_selfplay_segment(config: AZConfig, net):
+    """(params, env_state, key) -> (env_state, traj dict of [L, B, ...])."""
+    mcfg = mcts_config(config, selfplay=True)
+
+    def net_apply(p, obs):
+        return net.apply(p, obs)
+
+    def segment(params, env_state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k_search, k_sample = jax.random.split(key, 3)
+            boards_bf = jnp.transpose(state.board, (2, 0, 1))
+            visits, q, root_win = mcts.mcts_search(
+                net_apply, params, boards_bf, state.current, k_search, mcfg
+            )
+            mask = bc.legal_mask_planes(state.board, state.current).T  # [B,54]
+            visits = jnp.where(mask, visits, 0.0)
+            pi = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1.0)
+
+            # play: exact 1-ply wins dominate, else visit argmax; the first
+            # temp_moves plies of each game sample proportional to visits
+            score = jnp.where(mask, visits + 1e9 * root_win, -jnp.inf)
+            a_greedy = jnp.argmax(score, axis=-1).astype(jnp.int32)
+            logits_v = jnp.where(visits > 0, jnp.log(jnp.maximum(visits, 1e-9)),
+                                 -jnp.inf)
+            a_sample = jax.random.categorical(k_sample, logits_v).astype(jnp.int32)
+            actions = jnp.where(state.turn < config.temp_moves, a_sample, a_greedy)
+
+            obs = _obs_bf(state.board, state.current)     # int8[B,117]
+            player = state.current
+            s1 = bc.step_planes(state, actions)
+            out = dict(obs=obs, mask=mask, pi=pi, player=player,
+                       done=s1.done, winner=s1.winner)
+            return (bc.autoreset_planes(s1), key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), None, length=config.segment_len
+        )
+        return env_state, traj
+
+    return segment
+
+
+def assign_outcomes(done, winner, player):
+    """Backfill per-ply value targets from episode outcomes, in-graph.
+
+    done bool[L,B], winner int8[L,B] (signed: +1 = player 0 won), player
+    int32[L,B] (mover at that ply) -> (z float32[L,B] from the mover's
+    perspective, valid bool[L,B] — False for plies of games that never
+    finish inside the segment).
+    """
+
+    def body(carry, x):
+        w, have = carry
+        d, win = x
+        w = jnp.where(d, win.astype(jnp.float32), w)
+        have = have | d
+        return (w, have), (w, have)
+
+    B = done.shape[1]
+    (_, _), (z_signed, valid) = jax.lax.scan(
+        body,
+        (jnp.zeros(B, jnp.float32), jnp.zeros(B, bool)),
+        (done, winner),
+        reverse=True,
+    )
+    sign = jnp.where(player == 0, 1.0, -1.0)
+    return z_signed * sign, valid
+
+
+def make_train_iteration(config: AZConfig, net, optimizer):
+    segment = make_selfplay_segment(config, net)
+
+    def loss_fn(params, batch):
+        logits, value = net.apply(params, batch["obs"])
+        ml = jnp.where(batch["mask"], logits, -1e9)
+        logp = jax.nn.log_softmax(ml, axis=-1)
+        p_loss = -(batch["pi"] * jnp.where(batch["mask"], logp, 0.0)).sum(-1)
+        v_loss = (jnp.tanh(value) - batch["z"]) ** 2
+        w = batch["valid"].astype(jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
+        p = (p_loss * w).sum() / denom
+        v = (v_loss * w).sum() / denom
+        return p + config.value_coef * v, (p, v)
+
+    @jax.jit
+    def train_iteration(params, opt_state, env_state, key):
+        key, k_roll, k_perm = jax.random.split(key, 3)
+        env_state, traj = segment(params, env_state, k_roll)
+        z, valid = assign_outcomes(traj["done"], traj["winner"], traj["player"])
+
+        L, B = z.shape
+        n = L * B
+        flat = {
+            "obs": traj["obs"].reshape(n, -1),
+            "mask": traj["mask"].reshape(n, -1),
+            "pi": traj["pi"].reshape(n, -1),
+            "z": z.reshape(n),
+            "valid": valid.reshape(n),
+        }
+        mb = max(1, min(config.batch_size, n // max(config.updates_per_iter, 1)))
+        perm = jax.random.permutation(k_perm, n)
+
+        def update(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, (i * mb) % max(n - mb, 1), mb)
+            batch = {k: v[idx] for k, v in flat.items()}
+            (loss, (p_l, v_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, p_l, v_l)
+
+        (params, opt_state), (losses, p_ls, v_ls) = jax.lax.scan(
+            update, (params, opt_state), jnp.arange(config.updates_per_iter)
+        )
+        stats = {
+            "loss": losses.mean(),
+            "policy_loss": p_ls.mean(),
+            "value_loss": v_ls.mean(),
+            "episodes": traj["done"].sum(),
+            "valid_frac": valid.mean(),
+            "wins_p1": ((traj["winner"] == 1) & traj["done"]).sum(),
+            "wins_p2": ((traj["winner"] == -1) & traj["done"]).sum(),
+        }
+        return params, opt_state, env_state, stats
+
+    return train_iteration
+
+
+def init_alphazero(config: AZConfig, key):
+    net = make_net(config)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(config.lr, weight_decay=config.weight_decay),
+    )
+    params = net.init(key, jnp.zeros((1, 117), jnp.int8))
+    return net, optimizer, AZState(
+        params=params,
+        opt_state=optimizer.init(params),
+        env_state=bc.reset_planes(config.num_envs),
+    )
+
+
+def az_policy(net, params, num_sims: int = 128, c_puct: float = 1.5):
+    """Tournament-compatible evaluation policy: noise-free MCTS on the
+    trained network (see eval/tournament.py for the signature)."""
+    return mcts.mcts_policy(net, params, mcts.MCTSConfig(
+        num_sims=num_sims, c_puct=c_puct
+    ))
+
+
+def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None):
+    """Run AlphaZero self-play training; returns (net, AZState, history)."""
+    from gobblet_rl_tpu.train import checkpoint as ckpt
+
+    key = jax.random.PRNGKey(config.seed)
+    key, k_init = jax.random.split(key)
+    net, optimizer, st = init_alphazero(config, k_init)
+    start = 0
+    if checkpoint_dir is not None:
+        restored, step = ckpt.restore(checkpoint_dir, st)
+        if restored is not None:
+            st, start = restored, step + 1
+
+    it = make_train_iteration(config, net, optimizer)
+    history = []
+    for i in range(start, config.iterations):
+        key, sub = jax.random.split(key)
+        params, opt_state, env_state, stats = it(
+            st.params, st.opt_state, st.env_state, sub
+        )
+        st = AZState(params, opt_state, env_state)
+        record = {
+            "iteration": i,
+            "loss": float(stats["loss"]),
+            "policy_loss": float(stats["policy_loss"]),
+            "value_loss": float(stats["value_loss"]),
+            "episodes": int(stats["episodes"]),
+            "valid_frac": float(stats["valid_frac"]),
+            "wins_p1": int(stats["wins_p1"]),
+            "wins_p2": int(stats["wins_p2"]),
+        }
+        history.append(record)
+        if logger is not None:
+            logger.log(record)
+        if checkpoint_dir is not None:
+            ckpt.save(checkpoint_dir, st, i)
+    return net, st, history

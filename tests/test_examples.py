@@ -61,6 +61,17 @@ def test_example_dqn_watch_text():
     assert "Final rewards" in r.stdout
 
 
+def test_example_alphazero_tiny():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_alphazero",
+         "--iterations", "1", "--num-envs", "8", "--num-sims", "8",
+         "--segment-len", "8", "--model", "mlp", "--eval-games", "0",
+         "--seed", "5"], timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final:" in r.stdout
+
+
 def test_gif_recorder(tmp_path):
     from gobblet_rl_tpu.render.gif import GIFRecorder
 
