@@ -161,8 +161,9 @@ def assign_outcomes(done, winner, player):
     return z_signed * sign, valid
 
 
-def make_train_iteration(config: AZConfig, net, optimizer):
-    segment = make_selfplay_segment(config, net)
+def make_loss_fn(config: AZConfig, net):
+    """(params, batch) -> (loss, (policy_loss, value_loss)); batch carries
+    obs/mask/pi/z/valid rows (invalid rows are masked out of both terms)."""
 
     def loss_fn(params, batch):
         logits, value = net.apply(params, batch["obs"])
@@ -176,6 +177,25 @@ def make_train_iteration(config: AZConfig, net, optimizer):
         v = (v_loss * w).sum() / denom
         return p + config.value_coef * v, (p, v)
 
+    return loss_fn
+
+
+def flatten_segment(traj, z, valid):
+    """[L, B, ...] self-play segment -> flat [L*B, ...] training rows."""
+    n = z.shape[0] * z.shape[1]
+    return {
+        "obs": traj["obs"].reshape(n, -1),
+        "mask": traj["mask"].reshape(n, -1),
+        "pi": traj["pi"].reshape(n, -1),
+        "z": z.reshape(n),
+        "valid": valid.reshape(n),
+    }
+
+
+def make_train_iteration(config: AZConfig, net, optimizer):
+    segment = make_selfplay_segment(config, net)
+    loss_fn = make_loss_fn(config, net)
+
     @jax.jit
     def train_iteration(params, opt_state, env_state, key):
         key, k_roll, k_perm = jax.random.split(key, 3)
@@ -184,13 +204,7 @@ def make_train_iteration(config: AZConfig, net, optimizer):
 
         L, B = z.shape
         n = L * B
-        flat = {
-            "obs": traj["obs"].reshape(n, -1),
-            "mask": traj["mask"].reshape(n, -1),
-            "pi": traj["pi"].reshape(n, -1),
-            "z": z.reshape(n),
-            "valid": valid.reshape(n),
-        }
+        flat = flatten_segment(traj, z, valid)
         mb = max(1, min(config.batch_size, n // max(config.updates_per_iter, 1)))
         perm = jax.random.permutation(k_perm, n)
 

@@ -46,6 +46,34 @@ def test_sharded_train_iteration(mesh8):
     assert int(buffer.filled) == 2 * config.segment_len * (config.num_envs // 8)
 
 
+def test_sharded_alphazero_iteration(mesh8):
+    from gobblet_rl_tpu.parallel import sharded_alphazero
+    from gobblet_rl_tpu.train import alphazero as az
+
+    config = az.AZConfig(
+        num_envs=16, num_sims=6, segment_len=6, temp_moves=2,
+        batch_size=32, updates_per_iter=2, model="mlp", hidden_sizes=(16,),
+    )
+    net, optimizer, st = az.init_alphazero(config, jax.random.PRNGKey(0))
+    env_state = mesh_mod.shard_env_state(st.env_state, mesh8)
+    it = sharded_alphazero.make_sharded_az_iteration(config, net, optimizer, mesh8)
+    params, opt_state, env_state, stats = it(
+        st.params, st.opt_state, env_state, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(stats["loss"]))
+    assert env_state.board.sharding.spec[-1] == mesh_mod.ENV_AXIS
+    changed = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool((a != b).any()), st.params, params),
+    )
+    assert changed
+    # params come back replicated (pmean'd grads -> identical update)
+    assert params["params"]["Dense_0"]["kernel"].sharding.is_fully_replicated
+    # second iteration reuses the compiled program
+    _, _, _, stats2 = it(params, opt_state, env_state, jax.random.PRNGKey(2))
+    assert np.isfinite(float(stats2["loss"]))
+
+
 def test_sharded_rollout_scales(mesh8):
     """The pure rollout shards trivially: jit with sharded inputs."""
     B = 1024
