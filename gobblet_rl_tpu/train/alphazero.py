@@ -54,6 +54,9 @@ class AZConfig:
     # self-play
     num_envs: int = 256
     num_sims: int = 64
+    search: str = "puct"   # "puct" | "gumbel" (sequential halving; needs
+                           # fewer sims per move — see search/gumbel.py)
+    max_considered: int = 16   # gumbel: initial root candidate count
     c_puct: float = 1.5
     dirichlet_alpha: float = 0.5
     noise_frac: float = 0.25
@@ -93,6 +96,8 @@ def mcts_config(config: AZConfig, selfplay: bool = True) -> mcts.MCTSConfig:
 
 def make_selfplay_segment(config: AZConfig, net):
     """(params, env_state, key) -> (env_state, traj dict of [L, B, ...])."""
+    if config.search == "gumbel":
+        return _make_gumbel_segment(config, net)
     mcfg = mcts_config(config, selfplay=True)
 
     def net_apply(p, obs):
@@ -120,6 +125,43 @@ def make_selfplay_segment(config: AZConfig, net):
             actions = jnp.where(state.turn < config.temp_moves, a_sample, a_greedy)
 
             obs = _obs_bf(state.board, state.current)     # int8[B,117]
+            player = state.current
+            s1 = bc.step_planes(state, actions)
+            out = dict(obs=obs, mask=mask, pi=pi, player=player,
+                       done=s1.done, winner=s1.winner)
+            return (bc.autoreset_planes(s1), key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), None, length=config.segment_len
+        )
+        return env_state, traj
+
+    return segment
+
+
+def _make_gumbel_segment(config: AZConfig, net):
+    """Gumbel self-play: the root action already carries exploration through
+    the Gumbel noise (no Dirichlet, no temperature schedule) and the policy
+    target is the completed-Q improved policy rather than visit counts."""
+    from gobblet_rl_tpu.search import gumbel
+
+    gcfg = gumbel.GumbelConfig(
+        num_sims=config.num_sims, max_considered=config.max_considered
+    )
+
+    def net_apply(p, obs):
+        return net.apply(p, obs)
+
+    def segment(params, env_state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k_search = jax.random.split(key)
+            boards_bf = jnp.transpose(state.board, (2, 0, 1))
+            actions, pi, q, visits = gumbel.gumbel_search(
+                net_apply, params, boards_bf, state.current, k_search, gcfg
+            )
+            mask = bc.legal_mask_planes(state.board, state.current).T
+            obs = _obs_bf(state.board, state.current)
             player = state.current
             s1 = bc.step_planes(state, actions)
             out = dict(obs=obs, mask=mask, pi=pi, player=player,

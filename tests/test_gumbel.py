@@ -1,0 +1,136 @@
+"""Gumbel MCTS: tactics, legality, improved-policy targets, AZ integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gobblet_rl_tpu.core import rules_np
+from gobblet_rl_tpu.models import actor_critic as ac
+from gobblet_rl_tpu.search import GumbelConfig, gumbel_policy, gumbel_search
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = ac.MLPActorCritic(hidden_sizes=(64, 64))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 117), jnp.int8))
+    return net, params
+
+
+def _lm(boards):
+    return jnp.asarray(np.stack(boards, axis=-1))
+
+
+def test_gumbel_finds_immediate_win(net_and_params):
+    net, params = net_and_params
+    b = rules_np.empty_board()
+    b = rules_np.apply_action(b, 0, 0)
+    b = rules_np.apply_action(b, 1, 8)
+    b = rules_np.apply_action(b, 0, 10)
+    b = rules_np.apply_action(b, 1, 16)
+    pol = gumbel_policy(net, params, GumbelConfig(num_sims=16))
+    a = int(pol(jax.random.PRNGKey(1), _lm([b]), jnp.zeros(1, jnp.int32))[0])
+    nb = rules_np.apply_action(b, 0, a)
+    assert rules_np.line_winner(nb) == 1, a
+
+
+def test_gumbel_blocks_forced_loss(net_and_params):
+    """16 sims must suffice to avoid handing the opponent an instant win
+    (the 1-ply solver at expansion certifies losing replies)."""
+    net, params = net_and_params
+    b = rules_np.empty_board()
+    b = rules_np.apply_action(b, 1, 36)   # p2 large @0
+    b = rules_np.apply_action(b, 1, 46)   # p2 large @1
+    b = rules_np.apply_action(b, 0, 8)    # p1 small @8
+    pol = gumbel_policy(net, params, GumbelConfig(num_sims=32))
+    a = int(pol(jax.random.PRNGKey(2), _lm([b]), jnp.zeros(1, jnp.int32))[0])
+    nb = rules_np.apply_action(b, 0, a)
+    opp_mask = rules_np.legal_mask(nb, 1)
+    for r in np.nonzero(opp_mask)[0]:
+        rb = rules_np.apply_action(nb, 1, int(r))
+        assert rules_np.line_winner(rb) != -1, (a, r)
+
+
+def test_gumbel_actions_always_legal(net_and_params):
+    net, params = net_and_params
+    from gobblet_rl_tpu.ops import batched_core as bc
+
+    B = 16
+    state = bc.reset_planes(B)
+    pol = gumbel_policy(net, params, GumbelConfig(num_sims=12))
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        mask = np.asarray(bc.legal_mask_planes(state.board, state.current))
+        actions = np.asarray(pol(sub, state.board, state.current))
+        for b_i in range(B):
+            assert mask[actions[b_i], b_i], (b_i, actions[b_i])
+        state = bc.autoreset_planes(bc.step_planes(state, jnp.asarray(actions)))
+
+
+def test_gumbel_pi_target_is_distribution(net_and_params):
+    net, params = net_and_params
+
+    def net_apply(p, o):
+        return net.apply(p, o)
+
+    boards = jnp.zeros((4, 3, 9), jnp.int8)
+    players = jnp.zeros(4, jnp.int32)
+    actions, pi, q, visits = gumbel_search(
+        net_apply, params, boards, players, jax.random.PRNGKey(0),
+        GumbelConfig(num_sims=16),
+    )
+    pi = np.asarray(pi)
+    assert pi.shape == (4, 54)
+    assert (pi >= 0).all()
+    assert np.allclose(pi.sum(-1), 1.0, atol=1e-5)
+    # opening position: only the 18 uncovered placements are legal
+    from gobblet_rl_tpu.core import rules_np as rnp
+
+    mask = rnp.legal_mask(rnp.empty_board(), 0)
+    assert (pi[:, ~mask] == 0).all()
+    assert int(np.asarray(visits).sum()) == 4 * 16
+
+
+def test_gumbel_exploration_varies_with_key(net_and_params):
+    net, params = net_and_params
+    pol = gumbel_policy(net, params, GumbelConfig(num_sims=8))
+    board = jnp.zeros((3, 9, 32), jnp.int8)
+    cur = jnp.zeros(32, jnp.int32)
+    a1 = np.asarray(pol(jax.random.PRNGKey(1), board, cur))
+    a2 = np.asarray(pol(jax.random.PRNGKey(2), board, cur))
+    assert (a1 != a2).any()  # gumbel root noise explores
+
+
+def test_alphazero_gumbel_segment_and_iteration():
+    from gobblet_rl_tpu.train import alphazero as az
+
+    config = az.AZConfig(
+        num_envs=8, num_sims=12, segment_len=16, search="gumbel",
+        max_considered=8, batch_size=32, updates_per_iter=2,
+        model="mlp", hidden_sizes=(32, 32),
+    )
+    net, optimizer, st = az.init_alphazero(config, jax.random.PRNGKey(0))
+    it = az.make_train_iteration(config, net, optimizer)
+    params, opt_state, env_state, stats = it(
+        st.params, st.opt_state, st.env_state, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(stats["loss"]))
+    assert float(stats["valid_frac"]) > 0
+    assert int(stats["episodes"]) > 0
+
+
+@pytest.mark.slow
+def test_gumbel_holds_vs_puct_at_equal_sims(net_and_params):
+    """With the same untrained network and the same simulation budget,
+    Gumbel play is comparable to PUCT (measured ~45% at 16 sims).  Gumbel's
+    real advantage is the quality of its improved-policy *training* targets
+    at low sim counts, not raw untrained playing strength."""
+    from gobblet_rl_tpu.eval import tournament
+    from gobblet_rl_tpu.search import MCTSConfig, mcts_policy
+
+    net, params = net_and_params
+    g = gumbel_policy(net, params, GumbelConfig(num_sims=16))
+    p = mcts_policy(net, params, MCTSConfig(num_sims=16))
+    res = tournament.play_match(g, p, num_games=64, seed=0)
+    assert res["win_rate"] > 0.3, res
