@@ -72,6 +72,16 @@ def test_example_alphazero_tiny():
     assert "final:" in r.stdout
 
 
+def test_example_alphazero_watch_text():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_alphazero",
+         "--watch", "--render_mode", "text", "--opponent", "random",
+         "--eval-sims", "12", "--model", "mlp", "--seed", "6"], timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Final rewards" in r.stdout
+
+
 def test_gif_recorder(tmp_path):
     from gobblet_rl_tpu.render.gif import GIFRecorder
 
