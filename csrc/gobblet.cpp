@@ -1,4 +1,4 @@
-// Native Gobblet rules engine + greedy search.
+// Native Gobblet rules engine + greedy and alpha-beta search.
 //
 // Host-side runtime companion to the JAX compute path: powers the
 // interactive play loop and single-env stepping where per-call JAX dispatch
@@ -195,6 +195,271 @@ int gob_greedy_action(const int8_t* board, int player, int depth,
   if (depth >= 2 && safe) return random_from_mask(safe, rng_state);
   if (not_losing) return random_from_mask(not_losing, rng_state);
   return random_from_mask(mask, rng_state);
+}
+
+// ---------------------------------------------------------------------------
+// Alpha-beta expert (beyond-reference: the reference's strongest scripted
+// agent is the depth-3 greedy scan, greedy_policy.py:158-208).
+//
+// Iterative-deepening negamax with a Zobrist-keyed transposition table and
+// a line/material/center evaluation.  A per-game salt adds a tiny
+// hash-derived jitter to leaf evals so repeated matches explore different
+// but equally-strong lines; the salt is mixed into the TT key so entries
+// from different games never alias.
+// ---------------------------------------------------------------------------
+
+constexpr int kWin = 30000;
+constexpr int kWinThreshold = 29000;
+
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+struct Zobrist {
+  uint64_t piece[27][13];  // index: signed piece value + 6 (6 == empty, 0)
+  uint64_t side;
+  Zobrist() {
+    uint64_t s = 0xC0FFEE123456789AULL;
+    for (auto& cell : piece)
+      for (auto& v : cell) v = splitmix64(s++);
+    for (auto& cell : piece) cell[6] = 0;  // empty contributes nothing
+    side = splitmix64(s);
+  }
+};
+const Zobrist kZobrist;
+
+inline uint64_t position_hash(const int8_t* b, int player) {
+  uint64_t h = player ? kZobrist.side : 0;
+  for (int i = 0; i < 27; ++i) h ^= kZobrist.piece[i][b[i] + 6];
+  return h;
+}
+
+struct TTEntry {
+  uint64_t key;
+  int16_t score;
+  int8_t depth;
+  uint8_t flag;  // 0 unused, 1 exact, 2 lower bound, 3 upper bound
+  int8_t move;
+};
+
+constexpr size_t kTTBits = 21;  // 2M entries, 32 MiB
+constexpr size_t kTTSize = size_t{1} << kTTBits;
+TTEntry* tt_table = nullptr;
+
+inline TTEntry* tt_probe(uint64_t h) {
+  if (!tt_table) {
+    tt_table = new TTEntry[kTTSize]();
+  }
+  return &tt_table[h >> (64 - kTTBits)];
+}
+
+// Static move-ordering: large pieces first, center before edges/corners.
+struct StaticOrder {
+  int order[kActions];
+  StaticOrder() {
+    const int cell_bonus[9] = {1, 0, 1, 0, 2, 0, 1, 0, 1};
+    int scored[kActions];
+    for (int a = 0; a < kActions; ++a)
+      scored[a] = piece_size(action_piece(a)) * 4 + cell_bonus[action_pos(a)];
+    for (int i = 0; i < kActions; ++i) order[i] = i;
+    for (int i = 1; i < kActions; ++i) {  // insertion sort, descending
+      int a = order[i], j = i - 1;
+      while (j >= 0 && scored[order[j]] < scored[a]) {
+        order[j + 1] = order[j];
+        --j;
+      }
+      order[j + 1] = a;
+    }
+  }
+};
+const StaticOrder kOrder;
+
+// Evaluation from player 0's perspective: open-line potential, exposed
+// material (bigger tops are harder to gobble), center control.
+inline int eval_white(const int8_t* b) {
+  int8_t flat[9];
+  flat_board(b, flat);
+  static const int kLineTab[4] = {0, 4, 24, 0};  // 3-in-row handled as win
+  int score = 0;
+  for (const auto& line : kLines) {
+    int p = 0, n = 0;
+    for (int j = 0; j < 3; ++j) {
+      const int8_t v = flat[line[j]];
+      p += v > 0;
+      n += v < 0;
+    }
+    if (n == 0) score += kLineTab[p];
+    if (p == 0) score -= kLineTab[n];
+  }
+  for (int i = 0; i < 9; ++i) {
+    const int8_t v = flat[i];
+    if (v > 0) score += 2 + piece_size(v);
+    else if (v < 0) score -= 2 + piece_size(-v);
+  }
+  if (flat[4] > 0) score += 4;
+  else if (flat[4] < 0) score -= 4;
+  return score;
+}
+
+struct SearchCtx {
+  uint64_t salt;  // per-game eval jitter / TT namespace
+  long nodes;
+};
+
+int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
+            SearchCtx* ctx) {
+  // Node entry: the previous move may have completed a line (including the
+  // self-uncovering loss, board.py:96-101 semantics via winner_impl).
+  const int w = winner_impl(b);
+  const int my_sign = player == 0 ? 1 : -1;
+  if (w != 0) return w == my_sign ? kWin - ply : -(kWin - ply);
+  if (depth <= 0) {
+    const uint64_t h = position_hash(b, player);
+    const int jitter = static_cast<int>(splitmix64(h ^ ctx->salt) & 3) - 1;
+    const int e = eval_white(b) + jitter;
+    return player == 0 ? e : -e;
+  }
+  ++ctx->nodes;
+
+  const uint64_t h = position_hash(b, player) ^ ctx->salt;
+  TTEntry* e = tt_probe(h);
+  int tt_move = -1;
+  if (e->flag && e->key == h) {
+    tt_move = e->move;
+    if (e->depth >= depth) {
+      // Mate-distance adjustment: stored scores are node-relative.
+      int s = e->score;
+      if (s > kWinThreshold) s -= ply;
+      else if (s < -kWinThreshold) s += ply;
+      if (e->flag == 1) return s;
+      if (e->flag == 2 && s >= beta) return s;
+      if (e->flag == 3 && s <= alpha) return s;
+    }
+  }
+
+  const uint64_t mask = legal_mask_impl(b, player);
+  if (mask == 0) return 0;  // unreachable in practice (a player always moves)
+
+  const int alpha0 = alpha;
+  int best = -kWin - 1, best_move = -1;
+  for (int idx = -1; idx < kActions; ++idx) {
+    const int a = idx < 0 ? tt_move : kOrder.order[idx];
+    if (a < 0 || !((mask >> a) & 1)) continue;
+    if (idx >= 0 && a == tt_move) continue;  // already searched first
+    int8_t child[27];
+    std::memcpy(child, b, 27);
+    apply_impl(child, player, a);
+    const int s = -negamax(child, 1 - player, depth - 1, -beta, -alpha,
+                           ply + 1, ctx);
+    if (s > best) {
+      best = s;
+      best_move = a;
+      if (s > alpha) alpha = s;
+      if (alpha >= beta) break;
+    }
+  }
+
+  int stored = best;
+  if (stored > kWinThreshold) stored += ply;
+  else if (stored < -kWinThreshold) stored -= ply;
+  e->key = h;
+  e->score = static_cast<int16_t>(stored);
+  e->depth = static_cast<int8_t>(depth);
+  e->flag = best <= alpha0 ? 3 : (best >= beta ? 2 : 1);
+  e->move = static_cast<int8_t>(best_move);
+  return best;
+}
+
+int alphabeta_action_impl(const int8_t* board, int player, int depth,
+                          uint64_t salt) {
+  SearchCtx ctx{splitmix64(salt), 0};
+  int8_t b[27];
+  std::memcpy(b, board, 27);
+  const uint64_t mask = legal_mask_impl(b, player);
+  if (mask == 0) return -1;
+
+  int best_move = __builtin_ctzll(mask);
+  for (int d = 1; d <= depth; ++d) {
+    int alpha = -kWin - 1;
+    int move = best_move;
+    // Search the previous iteration's best move first.
+    for (int idx = -1; idx < kActions; ++idx) {
+      const int a = idx < 0 ? best_move : kOrder.order[idx];
+      if (!((mask >> a) & 1)) continue;
+      if (idx >= 0 && a == best_move) continue;
+      int8_t child[27];
+      std::memcpy(child, b, 27);
+      apply_impl(child, player, a);
+      const int s = -negamax(child, 1 - player, d - 1, -kWin - 1, -alpha, 1,
+                             &ctx);
+      if (s > alpha) {
+        alpha = s;
+        move = a;
+      }
+    }
+    best_move = move;
+    if (alpha > kWinThreshold) break;  // proven win: no deeper search needed
+  }
+  return best_move;
+}
+
+// Iterative-deepening alpha-beta move choice; salt varies play between
+// games without changing strength (see alphabeta_action_impl).
+int gob_alphabeta_action(const int8_t* board, int player, int depth,
+                         uint64_t salt) {
+  return alphabeta_action_impl(board, player, depth, salt);
+}
+
+// Batched alpha-beta over n independent positions (jax.pure_callback entry;
+// boards row-major int8[n,27] level-major, players int32[n]).
+void gob_alphabeta_batch(const int8_t* boards, const int32_t* players, int n,
+                         int depth, uint64_t seed, int32_t* out_actions) {
+  for (int i = 0; i < n; ++i) {
+    out_actions[i] = alphabeta_action_impl(
+        boards + 27 * i, players[i], depth, seed + 0x9E37 * (i + 1));
+  }
+}
+
+// Native match driver over scripted agents.
+// kind: 0 = random-admissible, 1 = greedy(depth), 2 = alphabeta(depth).
+// Returns wins for player 0; winners (size num_games) records +-1 / 0.
+int gob_play_match2(int num_games, int kind0, int depth0, int kind1,
+                    int depth1, uint64_t seed, int max_plies,
+                    int8_t* winners) {
+  uint64_t rng = seed | 1;
+  int wins0 = 0;
+  for (int g = 0; g < num_games; ++g) {
+    int8_t b[27] = {0};
+    int player = 0;
+    int8_t w = 0;
+    for (int ply = 0; ply < max_plies; ++ply) {
+      const int kind = player == 0 ? kind0 : kind1;
+      const int depth = player == 0 ? depth0 : depth1;
+      int a;
+      if (kind == 2) {
+        a = alphabeta_action_impl(b, player, depth,
+                                  seed + 0x51ED * (g + 1) + player);
+      } else if (kind == 1) {
+        a = gob_greedy_action(b, player, depth, &rng);
+      } else {
+        a = random_from_mask(legal_mask_impl(b, player), &rng);
+      }
+      if (a < 0) break;
+      apply_impl(b, player, a);
+      const int ww = winner_impl(b);
+      if (ww != 0) {
+        w = static_cast<int8_t>(ww);
+        break;
+      }
+      player = 1 - player;
+    }
+    if (winners) winners[g] = w;
+    if (w == 1) ++wins0;
+  }
+  return wins0;
 }
 
 // Random-admissible playout driver; returns completed episodes.

@@ -34,6 +34,33 @@ def greedy_policy(depth: int = 2) -> PolicyFn:
     return fn
 
 
+def alphabeta_policy(depth: int = 6) -> PolicyFn:
+    """Native C++ alpha-beta expert (csrc/gobblet.cpp) lifted into a device
+    policy via ``jax.pure_callback``: the batch of positions crosses to the
+    host once per ply, the transposition-table search runs natively, and the
+    chosen actions come back as a device array — so it composes with
+    ``play_match`` against any jittable policy (MCTS, DQN, PPO, greedy)."""
+    from gobblet_rl_tpu.native import engine
+
+    engine.load()  # build the shared library before tracing
+
+    def host(board_lm, current, salt):
+        boards = np.asarray(board_lm, np.int8).transpose(2, 0, 1)
+        return engine.alphabeta_batch(
+            boards, np.asarray(current), depth, int(salt)
+        )
+
+    def fn(key, board, current):
+        salt = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
+        return jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct(current.shape, jnp.int32),
+            board, current, salt,
+        )
+
+    return fn
+
+
 def dqn_policy(net, params, eps: float = 0.0) -> PolicyFn:
     """Masked (eps-)greedy Q policy from trained params."""
     from gobblet_rl_tpu.models.mlp import masked_argmax

@@ -40,7 +40,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--render_mode", type=str, default="text",
                         choices=["human", "text", "text_full", "rgb_array"])
     parser.add_argument("--opponent", type=str, default="greedy",
-                        choices=["greedy", "random"])
+                        choices=["greedy", "random", "alphabeta"])
+    parser.add_argument("--eval-alphabeta-depth", type=int, default=0,
+                        help="if >0, also evaluate vs the native alpha-beta "
+                        "expert at this depth")
     parser.add_argument("--agent-id", type=int, default=1, choices=[1, 2],
                         help="which seat the search agent takes in --watch")
     return parser
@@ -92,8 +95,14 @@ def watch(args, net=None, params=None):
             if restored is not None:
                 params = restored.params
     agent = SearchAgentPolicy(net, params, num_sims=args.eval_sims, seed=args.seed)
-    opponent = (GreedyGobbletPolicy(depth=2) if args.opponent == "greedy"
-                else RandomAdmissiblePolicy(seed=args.seed))
+    if args.opponent == "greedy":
+        opponent = GreedyGobbletPolicy(depth=2)
+    elif args.opponent == "alphabeta":
+        from gobblet_rl_tpu.policies import AlphaBetaGobbletPolicy
+
+        opponent = AlphaBetaGobbletPolicy(depth=6, seed=args.seed)
+    else:
+        opponent = RandomAdmissiblePolicy(seed=args.seed)
     agents = ["player_1", "player_2"]
     seat = agents[args.agent_id - 1]
     env = gobblet_v1.env(render_mode=args.render_mode, args=args)
@@ -136,11 +145,17 @@ def main(args=None):
         from gobblet_rl_tpu.eval import tournament
 
         pol = alphazero.az_policy(net, st.params, num_sims=args.eval_sims)
-        for name, opp in [
+        opponents = [
             ("random", tournament.random_policy()),
             ("greedy-1", tournament.greedy_policy(1)),
             ("greedy-2", tournament.greedy_policy(2)),
-        ]:
+        ]
+        if args.eval_alphabeta_depth > 0:
+            opponents.append((
+                f"alphabeta-{args.eval_alphabeta_depth}",
+                tournament.alphabeta_policy(args.eval_alphabeta_depth),
+            ))
+        for name, opp in opponents:
             res = tournament.play_match(pol, opp, num_games=args.eval_games,
                                         seed=args.seed)
             print(f"alphazero vs {name}: {res}")

@@ -55,6 +55,19 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ctypes.c_int, i8p,
     ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.gob_alphabeta_action.restype = ctypes.c_int
+    lib.gob_alphabeta_action.argtypes = [
+        i8p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64
+    ]
+    lib.gob_alphabeta_batch.argtypes = [
+        i8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, i32p
+    ]
+    lib.gob_play_match2.restype = ctypes.c_int
+    lib.gob_play_match2.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, i8p,
+    ]
     _lib = lib
     return lib
 
@@ -118,3 +131,36 @@ class NativeEngine:
             num_games, depth_p0, depth_p1, seed, max_plies, winners
         )
         return int(wins0), winners
+
+    def alphabeta_action(self, player: int, depth: int = 6,
+                         salt: int = 1) -> int:
+        """Iterative-deepening alpha-beta move for the current board."""
+        return int(
+            self.lib.gob_alphabeta_action(self.board, player, depth, salt)
+        )
+
+    def play_match2(self, num_games: int, kind_p0: int, depth_p0: int,
+                    kind_p1: int, depth_p1: int, seed: int = 1,
+                    max_plies: int = 200):
+        """Scripted-agent match; kind 0=random, 1=greedy, 2=alphabeta."""
+        winners = np.zeros(num_games, np.int8)
+        wins0 = self.lib.gob_play_match2(
+            num_games, kind_p0, depth_p0, kind_p1, depth_p1, seed,
+            max_plies, winners
+        )
+        return int(wins0), winners
+
+
+def alphabeta_batch(boards: np.ndarray, players: np.ndarray,
+                    depth: int = 6, seed: int = 1) -> np.ndarray:
+    """Alpha-beta moves for a batch of positions (int8[B,27] level-major,
+    int32[B] players); the jax.pure_callback entry used by
+    eval.tournament.alphabeta_policy."""
+    lib = load()
+    boards = np.ascontiguousarray(boards, np.int8).reshape(-1, 27)
+    players = np.ascontiguousarray(players, np.int32)
+    out = np.zeros(boards.shape[0], np.int32)
+    lib.gob_alphabeta_batch(
+        boards, players, boards.shape[0], depth, int(seed) & (2**64 - 1), out
+    )
+    return out

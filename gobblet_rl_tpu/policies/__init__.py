@@ -1,3 +1,4 @@
+from gobblet_rl_tpu.policies.alphabeta import AlphaBetaGobbletPolicy
 from gobblet_rl_tpu.policies.greedy import GreedyGobbletPolicy
 from gobblet_rl_tpu.policies.random_policy import (
     RandomAdmissiblePolicy,
@@ -6,6 +7,7 @@ from gobblet_rl_tpu.policies.random_policy import (
 )
 
 __all__ = [
+    "AlphaBetaGobbletPolicy",
     "GreedyGobbletPolicy",
     "RandomAdmissiblePolicy",
     "batched_random_admissible",

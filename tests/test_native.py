@@ -65,3 +65,116 @@ def test_native_playout_throughput():
     assert episodes > 10_000
     # native single-core must beat the reference's ~265 steps/s by >100x
     assert steps_per_sec > 100_000, steps_per_sec
+
+
+# ---------------------------------------------------------------------------
+# Alpha-beta expert
+# ---------------------------------------------------------------------------
+
+
+def _random_midgame(rng, plies=6):
+    """A legal non-terminal position reached by random play."""
+    eng = native.NativeEngine()
+    while True:
+        eng.reset()
+        player = 0
+        for _ in range(plies):
+            legal = np.nonzero(eng.legal_mask(player))[0]
+            eng.apply(player, int(rng.choice(legal)))
+            if eng.winner() != 0:
+                break
+            player = 1 - player
+        if eng.winner() == 0:
+            return eng, player
+
+
+def test_alphabeta_action_always_legal():
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        eng, player = _random_midgame(rng, plies=int(rng.integers(0, 12)))
+        a = eng.alphabeta_action(player, depth=4, salt=trial)
+        assert eng.is_legal(player, a), (trial, a)
+
+
+def test_alphabeta_takes_immediate_win_and_blocks_loss():
+    rng = np.random.default_rng(23)
+    checked_win = 0
+    for trial in range(300):
+        eng, player = _random_midgame(rng, plies=int(rng.integers(4, 14)))
+        sign = 1 if player == 0 else -1
+        legal = np.nonzero(eng.legal_mask(player))[0]
+        wins = []
+        for a in legal:
+            nxt = native.NativeEngine()
+            nxt.board[:] = eng.board
+            nxt.apply(player, int(a))
+            if nxt.winner() == sign:
+                wins.append(int(a))
+        if not wins:
+            continue
+        chosen = eng.alphabeta_action(player, depth=2, salt=trial)
+        nxt = native.NativeEngine()
+        nxt.board[:] = eng.board
+        nxt.apply(player, chosen)
+        assert nxt.winner() == sign, (trial, chosen, wins)
+        checked_win += 1
+        if checked_win >= 10:
+            break
+    assert checked_win >= 5  # the sampler found enough tactical positions
+
+
+def test_alphabeta_beats_greedy2_native_match():
+    eng = native.NativeEngine()
+    # kind 2 = alphabeta, kind 1 = greedy; color-swapped halves
+    w0, winners0 = eng.play_match2(20, 2, 4, 1, 2, seed=5)
+    w1, winners1 = eng.play_match2(20, 1, 2, 2, 4, seed=9)
+    ab_wins = w0 + int((winners1 == -1).sum())
+    decided = int((winners0 != 0).sum()) + int((winners1 != 0).sum())
+    assert decided >= 30
+    assert ab_wins / decided > 0.8, (ab_wins, decided)
+
+
+def test_alphabeta_tournament_policy_beats_random():
+    import jax
+
+    from gobblet_rl_tpu.eval import tournament
+
+    res = tournament.play_match(
+        tournament.alphabeta_policy(depth=3),
+        tournament.random_policy(),
+        num_games=32,
+        seed=0,
+    )
+    assert res["win_rate"] > 0.9, res
+    del jax
+
+
+def test_alphabeta_host_policy_full_game():
+    # vs random: two alpha-beta agents can cycle forever (Gobblet has no
+    # repetition rule), so a decisive game needs an imperfect opponent.
+    from gobblet_rl_tpu import gobblet_v1
+    from gobblet_rl_tpu.policies import (
+        AlphaBetaGobbletPolicy,
+        RandomAdmissiblePolicy,
+    )
+
+    env = gobblet_v1.env(render_mode=None)
+    env.reset(seed=4)
+    expert_seat = env.possible_agents[0]
+    pol = {
+        env.possible_agents[0]: AlphaBetaGobbletPolicy(depth=3, seed=0),
+        env.possible_agents[1]: RandomAdmissiblePolicy(seed=1),
+    }
+    final_rewards = {}
+    for agent in env.agent_iter(max_iter=300):
+        obs, reward, term, trunc, info = env.last()
+        if term or trunc:
+            action = None
+        else:
+            action = pol[agent].compute_action(obs["observation"],
+                                               obs["action_mask"])
+            assert obs["action_mask"][action] == 1
+        env.step(action)
+        for a, r in env.rewards.items():  # per-step rewards; sum over plies
+            final_rewards[a] = final_rewards.get(a, 0) + r
+    assert final_rewards[expert_seat] == 1, final_rewards
