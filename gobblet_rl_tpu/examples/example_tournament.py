@@ -1,0 +1,93 @@
+"""Round-robin Elo tournament over the framework's agents.
+
+Beyond-reference evaluation tooling: the reference eyeballs rendered games
+and a single win-rate stop criterion
+(/root/reference/gobblet_rl/examples/example_tianshou_DQN.py:430-431); here
+every pairing runs as a color-swapped batched match on device
+(eval/tournament.py) and the standings come with an Elo fit.
+
+    python -m gobblet_rl_tpu.examples.example_tournament \
+        --agents random greedy-1 greedy-2 alphabeta-4 alphabeta-6 \
+        --az-checkpoint /path/to/ckpt --games 128
+"""
+
+import argparse
+import json
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--agents", type=str, nargs="*",
+        default=["random", "greedy-1", "greedy-2", "alphabeta-4"],
+        help="any of: random, greedy-D (batched jax greedy at depth D), "
+        "alphabeta-D (native expert at depth D)")
+    parser.add_argument("--az-checkpoint", type=str, default=None,
+                        help="add an 'alphazero' entry from an Orbax "
+                        "checkpoint dir (train/checkpoint.py)")
+    parser.add_argument("--az-sims", type=int, default=128)
+    parser.add_argument("--az-model", type=str, default="conv",
+                        choices=["conv", "mlp"])
+    parser.add_argument("--games", type=int, default=128,
+                        help="games per pairing (color-swapped)")
+    parser.add_argument("--max-plies", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--json", action="store_true",
+                        help="print machine-readable results only")
+    return parser
+
+
+def build_policy(name: str):
+    from gobblet_rl_tpu.eval import tournament
+
+    if name == "random":
+        return tournament.random_policy()
+    if name.startswith("greedy-"):
+        return tournament.greedy_policy(int(name.split("-")[1]))
+    if name.startswith("alphabeta-"):
+        return tournament.alphabeta_policy(int(name.split("-")[1]))
+    raise SystemExit(f"unknown agent {name!r}")
+
+
+def main(args=None):
+    args = args or get_parser().parse_known_args()[0]
+    import jax
+
+    from gobblet_rl_tpu.eval import tournament
+
+    policies = {name: build_policy(name) for name in args.agents}
+
+    if args.az_checkpoint:
+        from gobblet_rl_tpu.train import alphazero
+        from gobblet_rl_tpu.train import checkpoint as ckpt
+
+        config = alphazero.AZConfig(model=args.az_model)
+        net, _, st = alphazero.init_alphazero(config, jax.random.PRNGKey(0))
+        restored, step = ckpt.restore(args.az_checkpoint, st)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.az_checkpoint}")
+        policies["alphazero"] = alphazero.az_policy(
+            net, restored.params, num_sims=args.az_sims
+        )
+
+    res = tournament.round_robin(policies, num_games=args.games,
+                                 seed=args.seed)
+    if args.json:
+        print(json.dumps(res))
+        return res
+
+    standings = sorted(res["standings"].items(),
+                       key=lambda kv: -kv[1]["elo"])
+    print(f"{'agent':<16} {'elo':>7} {'wins':>6} {'losses':>7}")
+    for name, row in standings:
+        print(f"{name:<16} {row['elo']:>7.1f} {row['wins']:>6} "
+              f"{row['losses']:>7}")
+    print()
+    for pair, match in res["pairs"].items():
+        print(f"{pair}: {match['wins']}-{match['losses']} "
+              f"(undecided {match['undecided']})")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,14 @@ def test_adapters_raise_cleanly_without_frameworks():
         pass
     with pytest.raises(ImportError, match="tianshou is not installed"):
         import gobblet_rl_tpu.adapters.tianshou_adapter  # noqa: F401
+
+
+def test_example_tournament_cli():
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_tournament",
+         "--agents", "random", "alphabeta-2", "--games", "8", "--json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    standings = res["standings"]
+    assert set(standings) == {"random", "alphabeta-2"}
+    assert standings["alphabeta-2"]["elo"] > standings["random"]["elo"]
