@@ -304,11 +304,16 @@ inline int eval_white(const int8_t* b) {
   return score;
 }
 
+constexpr int kMaxPly = 64;
+
 struct SearchCtx {
   uint64_t salt;  // per-game eval jitter / TT namespace
   long nodes;
+  int killers[kMaxPly][2];   // beta-cutoff moves per ply
+  int history[2][kActions];  // cutoff frequency per player/action
 };
 
+// Principal-variation negamax with TT / killer / history move ordering.
 int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
             SearchCtx* ctx) {
   // Node entry: the previous move may have completed a line (including the
@@ -343,22 +348,62 @@ int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
   const uint64_t mask = legal_mask_impl(b, player);
   if (mask == 0) return 0;  // unreachable in practice (a player always moves)
 
+  // Score + insertion-sort the legal moves (<= 54 of them).
+  const int k0 = ply < kMaxPly ? ctx->killers[ply][0] : -1;
+  const int k1 = ply < kMaxPly ? ctx->killers[ply][1] : -1;
+  int moves[kActions], scores[kActions], n = 0;
+  for (int idx = 0; idx < kActions; ++idx) {
+    const int a = kOrder.order[idx];
+    if (!((mask >> a) & 1)) continue;
+    int s = kActions - idx;  // static order as the base
+    if (a == tt_move) s = 1 << 26;
+    else if (a == k0) s = 1 << 24;
+    else if (a == k1) s = (1 << 24) - 1;
+    else s += ctx->history[player][a];
+    int j = n++;
+    while (j > 0 && scores[j - 1] < s) {
+      moves[j] = moves[j - 1];
+      scores[j] = scores[j - 1];
+      --j;
+    }
+    moves[j] = a;
+    scores[j] = s;
+  }
+
   const int alpha0 = alpha;
   int best = -kWin - 1, best_move = -1;
-  for (int idx = -1; idx < kActions; ++idx) {
-    const int a = idx < 0 ? tt_move : kOrder.order[idx];
-    if (a < 0 || !((mask >> a) & 1)) continue;
-    if (idx >= 0 && a == tt_move) continue;  // already searched first
+  for (int i = 0; i < n; ++i) {
+    const int a = moves[i];
     int8_t child[27];
     std::memcpy(child, b, 27);
     apply_impl(child, player, a);
-    const int s = -negamax(child, 1 - player, depth - 1, -beta, -alpha,
-                           ply + 1, ctx);
+    int s;
+    if (i == 0) {
+      s = -negamax(child, 1 - player, depth - 1, -beta, -alpha, ply + 1, ctx);
+    } else {  // PVS: null-window probe, re-search on fail-high
+      s = -negamax(child, 1 - player, depth - 1, -alpha - 1, -alpha, ply + 1,
+                   ctx);
+      if (s > alpha && s < beta) {
+        s = -negamax(child, 1 - player, depth - 1, -beta, -alpha, ply + 1,
+                     ctx);
+      }
+    }
     if (s > best) {
       best = s;
       best_move = a;
       if (s > alpha) alpha = s;
-      if (alpha >= beta) break;
+      if (alpha >= beta) {
+        if (ply < kMaxPly && a != k0) {
+          ctx->killers[ply][1] = ctx->killers[ply][0];
+          ctx->killers[ply][0] = a;
+        }
+        ctx->history[player][a] += depth * depth;
+        if (ctx->history[player][a] > (1 << 20)) {  // keep below killer rank
+          for (auto& row : ctx->history)
+            for (int& v : row) v >>= 1;
+        }
+        break;
+      }
     }
   }
 
@@ -375,7 +420,9 @@ int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
 
 int alphabeta_action_impl(const int8_t* board, int player, int depth,
                           uint64_t salt) {
-  SearchCtx ctx{splitmix64(salt), 0};
+  SearchCtx ctx{};
+  ctx.salt = splitmix64(salt);
+  for (auto& k : ctx.killers) k[0] = k[1] = -1;
   int8_t b[27];
   std::memcpy(b, board, 27);
   const uint64_t mask = legal_mask_impl(b, player);

@@ -58,6 +58,7 @@ def alphabeta_policy(depth: int = 6) -> PolicyFn:
             board, current, salt,
         )
 
+    fn.uses_host_callback = True  # play_match auto-selects its host loop
     return fn
 
 
@@ -101,28 +102,49 @@ def play_match(
     max_plies: int = 100,
     seed: int = 0,
     swap_colors: bool = True,
+    jit_loop: bool | None = None,
 ) -> Dict[str, float]:
     """A-vs-B match; with ``swap_colors`` half the games have B move first.
 
     Returns win/loss/undecided fractions for policy A.
+
+    ``jit_loop=False`` runs the ply loop eagerly from the host instead of as
+    one ``lax.scan`` program.  Use it when a policy needs host execution —
+    e.g. :func:`alphabeta_policy`'s ``pure_callback`` — on platforms without
+    host-callback support (the axon TPU runtime rejects send/recv
+    callbacks); device policies inside the loop still run jitted, and the
+    loop exits early once every lane is decided.  The default (``None``)
+    auto-selects: host loop iff a policy is marked ``uses_host_callback``.
     """
+    if jit_loop is None:
+        jit_loop = not (getattr(policy_a, "uses_host_callback", False)
+                        or getattr(policy_b, "uses_host_callback", False))
 
     def run(first_is_a: bool, key, games: int):
         state = bc.reset_planes(games)
         a_player = 0 if first_is_a else 1
 
-        @jax.jit
-        def ply(carry, _):
-            state, key = carry
+        def ply_fn(state, key):
             key, ka, kb = jax.random.split(key, 3)
             act_a = policy_a(ka, state.board, state.current)
             act_b = policy_b(kb, state.board, state.current)
             actions = jnp.where(state.current == a_player, act_a, act_b)
-            stepped = bc.step_planes(state, actions)
             # no auto-reset: each lane is one game
-            return (stepped, key), stepped.winner
+            return bc.step_planes(state, actions), key
 
-        (state, key), winners = jax.lax.scan(ply, (state, key), None, length=max_plies)
+        if jit_loop:
+            def ply(carry, _):
+                state, key = carry
+                state, key = ply_fn(state, key)
+                return (state, key), None
+
+            (state, key), _ = jax.lax.scan(ply, (state, key), None,
+                                           length=max_plies)
+        else:
+            for _ in range(max_plies):
+                state, key = ply_fn(state, key)
+                if bool((state.winner != 0).all()):
+                    break
         final = state.winner  # frozen at first win
         a_sign = 1 if a_player == 0 else -1
         wins = (final == a_sign).sum()

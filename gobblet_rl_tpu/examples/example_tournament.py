@@ -28,6 +28,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--az-sims", type=int, default=128)
     parser.add_argument("--az-model", type=str, default="conv",
                         choices=["conv", "mlp"])
+    parser.add_argument("--az-num-envs", type=int, default=256,
+                        help="num_envs the checkpoint was trained with "
+                        "(AZState embeds the self-play env batch, so the "
+                        "restore template must match)")
     parser.add_argument("--games", type=int, default=128,
                         help="games per pairing (color-swapped)")
     parser.add_argument("--max-plies", type=int, default=100)
@@ -61,7 +65,8 @@ def main(args=None):
         from gobblet_rl_tpu.train import alphazero
         from gobblet_rl_tpu.train import checkpoint as ckpt
 
-        config = alphazero.AZConfig(model=args.az_model)
+        config = alphazero.AZConfig(model=args.az_model,
+                                    num_envs=args.az_num_envs)
         net, _, st = alphazero.init_alphazero(config, jax.random.PRNGKey(0))
         restored, step = ckpt.restore(args.az_checkpoint, st)
         if restored is None:
