@@ -52,6 +52,10 @@ def alphabeta_policy(depth: int = 6) -> PolicyFn:
 
     def fn(key, board, current):
         salt = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
+        if not isinstance(board, jax.core.Tracer):
+            # concrete inputs (host ply loop): call straight through — the
+            # axon TPU runtime rejects the callback primitive even eagerly
+            return jnp.asarray(host(board, current, int(salt)), jnp.int32)
         return jax.pure_callback(
             host,
             jax.ShapeDtypeStruct(current.shape, jnp.int32),

@@ -19,6 +19,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--screen-width", type=int, default=640)
+    parser.add_argument(
+        "--cpu-policy", type=str, default="random",
+        choices=["random", "greedy", "alphabeta"],
+        help="CPU opponent: random-admissible (reference behavior), the "
+        "depth-2 greedy baseline, or the native alpha-beta expert",
+    )
+    parser.add_argument("--cpu-depth", type=int, default=None,
+                        help="search depth (default: greedy 2, alphabeta 6)")
     return parser
 
 
@@ -38,6 +46,19 @@ def main(args=None):
 
     manual = gobblet_v1.ManualGobbletPolicy(env, args.player)
 
+    if args.cpu_policy == "greedy":
+        cpu = gobblet_v1.GreedyGobbletPolicy(depth=args.cpu_depth or 2)
+        cpu_action = cpu.compute_action
+    elif args.cpu_policy == "alphabeta":
+        from gobblet_rl_tpu.policies import AlphaBetaGobbletPolicy
+
+        cpu = AlphaBetaGobbletPolicy(depth=args.cpu_depth or 6,
+                                     seed=args.seed or 0)
+        cpu_action = cpu.compute_action
+    else:
+        def cpu_action(obs, mask):
+            return random_admissible_action(mask)
+
     for agent in env.agent_iter():
         observation, reward, termination, truncation, info = env.last()
         if termination or truncation:
@@ -46,7 +67,8 @@ def main(args=None):
         if agent in human_agents:
             action = manual(observation, agent)
         else:
-            action = random_admissible_action(observation["action_mask"])
+            action = cpu_action(observation["observation"],
+                                observation["action_mask"])
         env.step(int(action))
 
 

@@ -145,3 +145,12 @@ def test_example_tournament_cli():
     standings = res["standings"]
     assert set(standings) == {"random", "alphabeta-2"}
     assert standings["alphabeta-2"]["elo"] > standings["random"]["elo"]
+
+
+def test_example_user_input_cpu_only():
+    """--cpu-players 2 plays autonomously (no pygame events needed); the
+    --cpu-policy flag selects the engine-backed opponents."""
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_user_input",
+         "--cpu-players", "2", "--cpu-policy", "random", "--seed", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
