@@ -1,6 +1,11 @@
-"""Random-admissible AEC demo — mirror of
-/root/reference/gobblet_rl/examples/example_basic.py (same CLI flags,
-same sampling discipline: np.random.choice weighted by the mask)."""
+"""Watch two random-admissible players — the smallest possible demo.
+
+Behavioral counterpart of the reference's basic example
+(/root/reference/gobblet_rl/examples/example_basic.py:37-67): same CLI
+flags and render modes, but driven through this repo's own pieces — the
+shared :func:`gobblet_rl_tpu.policies.random_policy.random_admissible_action`
+sampler and a ``play_random_game`` helper that other scripts can import.
+"""
 
 import argparse
 import time
@@ -8,13 +13,36 @@ import time
 import numpy as np
 
 from gobblet_rl_tpu import gobblet_v1
+from gobblet_rl_tpu.policies.random_policy import random_admissible_action
 
 
-def get_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser()
+def play_random_game(env, *, move_delay: float = 0.0, verbose: bool = True):
+    """Drive one full game with uniform-over-mask actions on both sides.
+
+    Returns the final per-agent cumulative rewards dict.
+    """
+    env.reset()
+    env.render()
+    final_rewards = {}
+    while env.agents:
+        agent = env.agent_selection
+        obs, reward, terminated, truncated, info = env.last()
+        if terminated or truncated:
+            final_rewards[agent] = reward
+            if verbose:
+                print(f"Agent: ({agent}), Reward: {reward}, info: {info}")
+            env.step(None)
+            continue
+        if move_delay:
+            time.sleep(move_delay)
+        env.step(random_admissible_action(obs["action_mask"]))
+    return final_rewards
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--render_mode",
-        type=str,
         default="human",
         choices=["human", "rgb_array", "text", "text_full"],
         help="Choose the rendering mode for the game.",
@@ -26,37 +54,19 @@ def get_parser() -> argparse.ArgumentParser:
         "--debug", action="store_true", help="display extra debugging information"
     )
     parser.add_argument(
-        "--screen-width", type=int, default=640, help="Width of pygame screen in pixels"
+        "--screen-width", type=int, default=640,
+        help="Width of pygame screen in pixels",
     )
     return parser
 
 
-def get_args() -> argparse.Namespace:
-    return get_parser().parse_known_args()[0]
-
-
 def main(args=None):
-    args = args or get_args()
+    args = args or build_parser().parse_known_args()[0]
     if args.seed is not None:
         np.random.seed(args.seed)
-
     env = gobblet_v1.env(render_mode=args.render_mode, args=args)
-    env.reset()
-    env.render()
-
-    for agent in env.agent_iter():
-        observation, reward, termination, truncation, info = env.last()
-        if termination or truncation:
-            print(f"Agent: ({agent}), Reward: {reward}, info: {info}")
-            env.step(None)
-        else:
-            action_mask = observation["action_mask"]
-            action = np.random.choice(
-                np.arange(len(action_mask)), p=action_mask / np.sum(action_mask)
-            )
-            if args.render_mode == "human":
-                time.sleep(0.5)
-            env.step(action)
+    delay = 0.5 if args.render_mode == "human" else 0.0
+    play_random_game(env, move_delay=delay)
 
 
 if __name__ == "__main__":
