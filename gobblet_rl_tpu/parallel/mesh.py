@@ -4,9 +4,9 @@ The reference's only "distributed" execution is Ray actors pickling sample
 batches (/root/reference/gobblet_rl/examples/example_RLlib.py:44, SURVEY §2).
 Here scaling is native SPMD: a ``jax.sharding.Mesh`` with an ``env`` axis
 (data-parallel rollouts: each chip owns a slice of the environment batch and
-its replay shard) and an optional ``model`` axis (reserved for larger nets);
-gradients sync with ``psum`` over ICI via ``shard_map``
-(see parallel/sharded_train.py).
+its replay shard) and a ``model`` axis for tensor parallelism (Megatron-style
+sharded Dense/Conv kernels, see parallel/tensor_parallel.py); gradients sync
+with ``psum`` over ICI via ``shard_map`` (see parallel/sharded_train.py).
 
 Multi-host entry: call :func:`init_distributed` once per process before any
 jax op (wraps ``jax.distributed.initialize``).

@@ -82,6 +82,74 @@ def test_sharded_rollout_scales(mesh8):
     assert int(stats["episodes"]) > 0
 
 
+def test_tensor_parallel_forward_matches_replicated():
+    """MODEL_AXIS does real work: Megatron-style sharded Dense kernels give
+    the same math as the replicated net under jit (XLA inserts the psum)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gobblet_rl_tpu.parallel import tensor_parallel as tp
+
+    mesh = mesh_mod.make_mesh(8, model_parallel=4)
+    net = QNet()
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.randint(key, (64, 117), 0, 2).astype(jnp.int8)
+    params = net.init(key, obs)
+    tp_params = tp.shard_params_tp(params, mesh)
+
+    # alternating col/row shardings landed where expected
+    p = tp_params["params"]
+    assert p["Dense_0"]["kernel"].sharding.spec == (None, mesh_mod.MODEL_AXIS)
+    assert p["Dense_1"]["kernel"].sharding.spec == (mesh_mod.MODEL_AXIS, None)
+    assert p["Dense_2"]["kernel"].sharding.spec == (None, mesh_mod.MODEL_AXIS)
+    # 54-way head does not divide by 4 -> replicated
+    assert p["Dense_4"]["kernel"].sharding.is_fully_replicated
+    # the column-sharded kernel physically spans 4 distinct device rows
+    k0 = p["Dense_0"]["kernel"]
+    assert {s.index[1] for s in k0.addressable_shards} == {
+        slice(i * 32, (i + 1) * 32) for i in range(4)
+    }
+
+    obs_dp = tp.shard_batch_dp(obs, mesh)
+    out_tp = jax.jit(net.apply)(tp_params, obs_dp)
+    out_ref = net.apply(params, obs)
+    np.testing.assert_allclose(
+        np.asarray(out_tp), np.asarray(out_ref), rtol=0, atol=0.15
+    )  # bf16 compute + split contraction reorders the accumulation
+
+
+def test_tensor_parallel_train_step():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gobblet_rl_tpu.parallel import tensor_parallel as tp
+
+    mesh = mesh_mod.make_mesh(8, model_parallel=2)
+    net = QNet(hidden_sizes=(64, 64))
+    optimizer = optax.adam(1e-3)
+    key = jax.random.PRNGKey(1)
+    obs = jax.random.randint(key, (32, 117), 0, 2).astype(jnp.int8)
+    mask = jnp.ones((32, 54), bool)
+    target = jax.random.normal(key, (32, 54))
+
+    params = net.init(key, obs)
+    tp_params = tp.shard_params_tp(params, mesh)
+    opt_state = optimizer.init(tp_params)
+    step = tp.make_tp_train_step(net, optimizer, mesh)
+
+    obs, mask, target = tp.shard_batch_dp((obs, mask, target), mesh)
+    new_params, opt_state, loss = step(tp_params, opt_state, obs, mask, target)
+    assert np.isfinite(float(loss))
+    # updates inherit the TP sharding: params (and adam moments) stay sharded
+    assert new_params["params"]["Dense_0"]["kernel"].sharding.spec == (
+        None, mesh_mod.MODEL_AXIS,
+    )
+    changed = jax.tree.map(lambda a, b: bool((a != b).any()), params, new_params)
+    assert all(jax.tree.leaves(changed))
+    # loss matches the fully-replicated step
+    rep_step = tp.make_tp_train_step(net, optimizer, mesh)
+    _, _, rep_loss = rep_step(params, optimizer.init(params), obs, mask, target)
+    np.testing.assert_allclose(float(loss), float(rep_loss), atol=5e-3)
+
+
 def test_graft_entry():
     import __graft_entry__ as ge
 
