@@ -1,17 +1,31 @@
-"""Headline benchmark: batched env throughput on one TPU chip.
+"""Headline benchmark: batched env throughput + fused training loop, one TPU chip.
 
-Measures the lane-major fused rollout (random-admissible policy sampling +
-legal mask + step + win detection + auto-reset under one lax.scan, zero host
-round-trips) and compares against the reference implementation measured on
-this machine (~265 env-steps/s single env over gobblet_v1.env(); BASELINE.md).
+Measures
+1. the lane-major fused rollout (random-admissible sampling + legal mask +
+   step + win detection + auto-reset under one lax.scan, zero host
+   round-trips), and
+2. the fused DQN actor-learner iteration users actually run for training
+   (collect + n-step fold + replay insert + minibatch updates in ONE XLA
+   program, train/dqn.py).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Round-1 note on variance: single repeats showed a 3x outlier (191M/191M/64M
+steps/s) because each repeat re-created and re-transferred the env state and
+ran back-to-back with the remote-compile tunnel still settling.  Repeats now
+reuse the on-device state chain (steady-state timing) and the reported value
+is the MEDIAN of 5 repeats, with min/max printed for the spread.
+
+Prints auxiliary JSON lines first and the headline metric as the FINAL line:
+    {"metric": "env_steps_per_sec", "value": ..., "unit": ..., "vs_baseline": ...}
+
+The reference baseline is measured on this host (BASELINE.md): 265 env
+steps/s for the wrapped reference env under a random-admissible driver.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
 import time
 
@@ -26,45 +40,116 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # random-admissible driver over gobblet_v1.env(), pettingzoo 1.26, numpy path.
 REFERENCE_STEPS_PER_SEC = 265.0
 
-BATCH = 524288
-STEPS = 64
-REPEATS = 3
+BATCH = int(os.environ.get("GOBBLET_BENCH_BATCH", str(524288)))
+STEPS = int(os.environ.get("GOBBLET_BENCH_STEPS", "64"))
+REPEATS = int(os.environ.get("GOBBLET_BENCH_REPEATS", "5"))
+TRAIN_ENVS = int(os.environ.get("GOBBLET_BENCH_TRAIN_ENVS", str(16384)))
 
 
-def main() -> None:
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_rollout() -> float:
+    """Steady-state fused-rollout throughput; returns the median steps/s."""
     from gobblet_rl_tpu.ops import batched_core as bc
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
     state = bc.reset_planes(BATCH)
 
-    # compile + warmup
-    out = bc.rollout_random(state, key, STEPS)
-    jax.block_until_ready(out[2])
+    # compile + settle: two untimed warmup runs on the same state chain
+    for _ in range(2):
+        state, key, stats = bc.rollout_random(state, key, STEPS)
+        jax.block_until_ready(stats)
 
-    best = 0.0
+    rates = []
     for _ in range(REPEATS):
-        state = bc.reset_planes(BATCH)
         t0 = time.perf_counter()
         state, key, stats = bc.rollout_random(state, key, STEPS)
         jax.block_until_ready(stats)
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * STEPS / dt)
-        print(
-            f"# {BATCH * STEPS} env-steps in {dt:.3f}s -> {BATCH * STEPS / dt:,.0f} steps/s"
-            f" (episodes={int(stats['episodes'])})",
-            file=sys.stderr,
+        rates.append(BATCH * STEPS / dt)
+        log(
+            f"# rollout: {BATCH * STEPS} env-steps in {dt:.3f}s -> "
+            f"{rates[-1]:,.0f} steps/s (episodes={int(stats['episodes'])})"
         )
+    med = statistics.median(rates)
+    log(
+        f"# rollout median {med:,.0f} steps/s over {REPEATS} repeats "
+        f"(min {min(rates):,.0f}, max {max(rates):,.0f}, "
+        f"spread {(max(rates) - min(rates)) / med:.1%})"
+    )
+    return med
 
+
+def bench_train_loop() -> dict:
+    """Fused DQN actor-learner iteration throughput (the loop users run)."""
+    import optax
+
+    from gobblet_rl_tpu.models.mlp import QNet
+    from gobblet_rl_tpu.ops import batched_core as bc
+    from gobblet_rl_tpu.train import dqn, replay
+
+    config = dqn.DQNConfig(
+        num_envs=TRAIN_ENVS,
+        buffer_size=max(1 << 18, TRAIN_ENVS * 16),
+        batch_size=min(1024, TRAIN_ENVS),
+        segment_len=16,
+        update_per_collect=8,
+        opponent="random",
+    )
+    net = QNet(hidden_sizes=config.hidden_sizes)
+    optimizer = optax.adam(config.lr)
+    key = jax.random.PRNGKey(0)
+    ts = dqn.init_train_state(config, net, optimizer, key)
+    env_state = bc.reset_planes(config.num_envs)
+    buffer = replay.make_buffer(config.buffer_size)
+    it, _ = dqn.make_train_iteration(config, net, optimizer)
+
+    # warmup (compile) + settle
+    for _ in range(2):
+        ts, env_state, buffer, key, loss = it(ts, env_state, buffer, key)
+        jax.block_until_ready(loss)
+
+    iters = 8
+    env_steps_per_iter = config.num_envs * (config.segment_len + config.n_step - 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, env_state, buffer, key, loss = it(ts, env_state, buffer, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    result = {
+        "metric": "dqn_train_env_steps_per_sec",
+        "value": round(iters * env_steps_per_iter / dt, 1),
+        "unit": "steps/s",
+        "iterations_per_sec": round(iters / dt, 2),
+        "grad_steps_per_sec": round(iters * config.update_per_collect / dt, 1),
+        "num_envs": config.num_envs,
+    }
+    log(
+        f"# train loop: {iters} fused iterations in {dt:.3f}s -> "
+        f"{result['iterations_per_sec']}/s, {result['value']:,.0f} env-steps/s, "
+        f"{result['grad_steps_per_sec']} grad-steps/s"
+    )
+    return result
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    log(f"# device: {dev.platform} {dev.device_kind}")
+
+    train_result = bench_train_loop()
+    median_rate = bench_rollout()
+
+    # auxiliary metric first; headline LAST so line-based parsers get it
+    print(json.dumps(train_result))
     print(
         json.dumps(
             {
                 "metric": "env_steps_per_sec",
-                "value": round(best, 1),
+                "value": round(median_rate, 1),
                 "unit": "steps/s",
-                "vs_baseline": round(best / REFERENCE_STEPS_PER_SEC, 1),
+                "vs_baseline": round(median_rate / REFERENCE_STEPS_PER_SEC, 1),
             }
         )
     )

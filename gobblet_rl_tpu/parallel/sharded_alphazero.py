@@ -57,7 +57,14 @@ def make_sharded_az_iteration(config: az.AZConfig, net, optimizer, mesh):
         key = jax.random.fold_in(key, jax.lax.axis_index(ENV_AXIS))
         key, k_roll, k_perm = jax.random.split(key, 3)
         env_state, traj = segment(params, env_state, k_roll)
-        z, valid = az.assign_outcomes(traj["done"], traj["winner"], traj["player"])
+        bootstrap = (
+            traj["v_signed"]
+            if local.bootstrap_unfinished and "v_signed" in traj
+            else None
+        )
+        z, valid = az.assign_outcomes(
+            traj["done"], traj["winner"], traj["player"], bootstrap
+        )
         flat = az.flatten_segment(traj, z, valid)
         n = flat["z"].shape[0]
         mb = max(1, min(local.batch_size, n // max(local.updates_per_iter, 1)))

@@ -12,12 +12,16 @@ tree machinery as :mod:`gobblet_rl_tpu.search.mcts`:
 * interior nodes: deterministic selection by the improved policy —
   ``argmax pi'(a) - N(a)/(1 + sum N)`` with
   ``pi' = softmax(logits + sigma(completedQ))`` — no PUCT, no prior noise;
-* the returned training target is the improved policy at the root (completed
-  Q-values: visited children use their search Q, unvisited use the root
-  value estimate — a simplification of the paper's mixed-value estimator),
-  which is a guaranteed policy improvement even at very low simulation
-  counts.  This is why gumbel self-play matches PUCT quality with ~2-4x
-  fewer simulations.
+* the returned training target is the improved policy at the root with
+  COMPLETED Q-values: visited children use their search Q, unvisited ones
+  use the paper's mixed-value estimator
+  ``v_mix = (v_hat + sum_N * weighted_avg_{N>0}(pi, q)) / (1 + sum_N)``
+  (Danihelka et al. 2022, App. D) — the same estimator drives interior
+  selection and is returned per root as a bootstrap value target for plies
+  of games that do not finish inside a self-play segment
+  (train/alphazero.py).  The improved policy is a guaranteed policy
+  improvement even at very low simulation counts, which is why gumbel
+  self-play matches PUCT quality with ~2-4x fewer simulations.
 
 Like the PUCT search, expansion runs the exact 1-ply solver
 (:func:`gobblet_rl_tpu.search.mcts._mover_can_win`) so proven wins/losses
@@ -72,9 +76,23 @@ def _sigma(q: jnp.ndarray, max_n: jnp.ndarray, config: GumbelConfig) -> jnp.ndar
 
 def _improved_logits(logp, q, n, value_est, max_n, legal, config):
     """logits + sigma(completedQ): visited children use search Q, unvisited
-    fall back to the node's own value estimate."""
+    fall back to the node's value estimate (callers pass the mixed value)."""
     completed = jnp.where(n > 0, q, value_est)
     return jnp.where(legal, logp + _sigma(completed, max_n, config), -jnp.inf)
+
+
+def _mixed_value(v_hat, q, n, priors, legal):
+    """Paper's mixed-value estimator (Danihelka et al. 2022, App. D):
+    ``(v_hat + sum_N * (sum_{N>0} pi q / sum_{N>0} pi)) / (1 + sum_N)``,
+    falling back to the raw network value when nothing is visited."""
+    visited = (n > 0) & legal
+    pi = jnp.where(legal, priors, 0.0)
+    pi = pi / jnp.maximum(pi.sum(), 1e-12)
+    w_vis = jnp.where(visited, pi, 0.0).sum()
+    q_avg = jnp.where(visited, pi * q, 0.0).sum() / jnp.maximum(w_vis, 1e-12)
+    sum_n = n.sum()
+    v_mix = (v_hat + sum_n * q_avg) / (1.0 + sum_n)
+    return jnp.where(w_vis > 0, v_mix, v_hat)
 
 
 def gumbel_search_single(net_apply, params, board, player, key,
@@ -124,7 +142,8 @@ def gumbel_search_single(net_apply, params, board, player, key,
         n, w, leg = N_[node], W_[node], legal_[node]
         q = jnp.where(n > 0, w / jnp.maximum(n, 1.0), 0.0)
         logp = jnp.where(leg, jnp.log(jnp.maximum(P_[node], 1e-12)), -jnp.inf)
-        imp = _improved_logits(logp, q, n, V_[node], n.max(), leg, config)
+        v_mix = _mixed_value(V_[node], q, n, P_[node], leg)
+        imp = _improved_logits(logp, q, n, v_mix, n.max(), leg, config)
         pi = jax.nn.softmax(imp)
         score = jnp.where(leg, pi - n / (1.0 + n.sum()), -jnp.inf)
         return jnp.argmax(score).astype(jnp.int32)
@@ -250,18 +269,26 @@ def gumbel_search_single(net_apply, params, board, player, key,
     action = jnp.where(root_win.any(),
                        jnp.argmax(root_win).astype(jnp.int32), action)
 
-    # training target: improved policy over ALL legal actions (completed Q);
+    # training target: improved policy over ALL legal actions (completed Q
+    # with the paper's mixed-value estimator for unvisited actions);
     # pi' uses the raw network logits — no Gumbel noise in the target
-    q_comp = jnp.where(n0 > 0, w0 / jnp.maximum(n0, 1.0), value0)
+    q0 = jnp.where(n0 > 0, w0 / jnp.maximum(n0, 1.0), 0.0)
+    v_mix0 = _mixed_value(value0, q0, n0, priors0, mask0)
+    q_comp = jnp.where(n0 > 0, q0, v_mix0)
     imp = jnp.where(mask0, logp0 + _sigma(q_comp, n0.max(), config), -jnp.inf)
     pi_target = jax.nn.softmax(imp)
-    return action, pi_target, root_q, n0
+    # root value estimate for bootstrap targets, certified by the exact
+    # 1-ply solver: a provable root win is exactly +1
+    root_value = jnp.where(root_win.any(), jnp.float32(1.0), v_mix0)
+    return action, pi_target, root_q, n0, root_value
 
 
 def gumbel_search(net_apply, params, boards_bf, players, key,
                   config: GumbelConfig):
     """vmapped search: boards_bf int8[B,3,9], players int32[B] ->
-    (actions int32[B], pi f32[B,54], q f32[B,54], visits f32[B,54])."""
+    (actions int32[B], pi f32[B,54], q f32[B,54], visits f32[B,54],
+    root_value f32[B] — the mixed-value estimate from the mover's
+    perspective, used as a bootstrap target for unfinished games)."""
     keys = jax.random.split(key, boards_bf.shape[0])
     fn = jax.vmap(
         lambda b, p, k: gumbel_search_single(net_apply, params, b, p, k, config)
@@ -279,7 +306,7 @@ def gumbel_policy(net, params, config: GumbelConfig = GumbelConfig()):
     @jax.jit
     def fn(key, board_lm, current):
         boards_bf = jnp.transpose(board_lm, (2, 0, 1))
-        actions, _, _, _ = gumbel_search(
+        actions, _, _, _, _ = gumbel_search(
             net_apply, params, boards_bf, current, key, config
         )
         return actions

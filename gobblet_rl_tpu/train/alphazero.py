@@ -62,6 +62,11 @@ class AZConfig:
     noise_frac: float = 0.25
     temp_moves: int = 8
     segment_len: int = 48
+    # gumbel: use each root's mixed-value estimate as the value target for
+    # plies of games that do not finish inside the segment (instead of
+    # masking them out of the loss) — Danihelka et al.'s estimator makes
+    # those targets cheap and accurate at low simulation counts
+    bootstrap_unfinished: bool = True
     # optimization
     batch_size: int = 2048
     updates_per_iter: int = 8
@@ -157,15 +162,17 @@ def _make_gumbel_segment(config: AZConfig, net):
             state, key = carry
             key, k_search = jax.random.split(key)
             boards_bf = jnp.transpose(state.board, (2, 0, 1))
-            actions, pi, q, visits = gumbel.gumbel_search(
+            actions, pi, q, visits, root_v = gumbel.gumbel_search(
                 net_apply, params, boards_bf, state.current, k_search, gcfg
             )
             mask = bc.legal_mask_planes(state.board, state.current).T
             obs = _obs_bf(state.board, state.current)
             player = state.current
             s1 = bc.step_planes(state, actions)
+            # mover-perspective root value -> absolute sign (+1 = player 0)
+            v_signed = root_v * jnp.where(player == 0, 1.0, -1.0)
             out = dict(obs=obs, mask=mask, pi=pi, player=player,
-                       done=s1.done, winner=s1.winner)
+                       done=s1.done, winner=s1.winner, v_signed=v_signed)
             return (bc.autoreset_planes(s1), key), out
 
         (env_state, _), traj = jax.lax.scan(
@@ -176,13 +183,18 @@ def _make_gumbel_segment(config: AZConfig, net):
     return segment
 
 
-def assign_outcomes(done, winner, player):
+def assign_outcomes(done, winner, player, bootstrap_signed=None):
     """Backfill per-ply value targets from episode outcomes, in-graph.
 
     done bool[L,B], winner int8[L,B] (signed: +1 = player 0 won), player
     int32[L,B] (mover at that ply) -> (z float32[L,B] from the mover's
-    perspective, valid bool[L,B] — False for plies of games that never
-    finish inside the segment).
+    perspective, valid bool[L,B]).
+
+    Without ``bootstrap_signed``, plies of games that never finish inside
+    the segment are masked out (valid=False).  With it (float32[L,B],
+    absolute sign, e.g. the gumbel root mixed-value estimates), the
+    unfinished tail bootstraps from the LAST ply's estimate instead and
+    every ply is valid.
     """
 
     def body(carry, x):
@@ -193,11 +205,12 @@ def assign_outcomes(done, winner, player):
         return (w, have), (w, have)
 
     B = done.shape[1]
+    if bootstrap_signed is None:
+        init = (jnp.zeros(B, jnp.float32), jnp.zeros(B, bool))
+    else:
+        init = (bootstrap_signed[-1].astype(jnp.float32), jnp.ones(B, bool))
     (_, _), (z_signed, valid) = jax.lax.scan(
-        body,
-        (jnp.zeros(B, jnp.float32), jnp.zeros(B, bool)),
-        (done, winner),
-        reverse=True,
+        body, init, (done, winner), reverse=True
     )
     sign = jnp.where(player == 0, 1.0, -1.0)
     return z_signed * sign, valid
@@ -242,7 +255,14 @@ def make_train_iteration(config: AZConfig, net, optimizer):
     def train_iteration(params, opt_state, env_state, key):
         key, k_roll, k_perm = jax.random.split(key, 3)
         env_state, traj = segment(params, env_state, k_roll)
-        z, valid = assign_outcomes(traj["done"], traj["winner"], traj["player"])
+        bootstrap = (
+            traj["v_signed"]
+            if config.bootstrap_unfinished and "v_signed" in traj
+            else None
+        )
+        z, valid = assign_outcomes(
+            traj["done"], traj["winner"], traj["player"], bootstrap
+        )
 
         L, B = z.shape
         n = L * B

@@ -19,9 +19,10 @@ ENV = {
 }
 
 
-def run_example(args, timeout=240):
+def run_example(args, timeout=240, extra_env=None):
+    env = {**ENV, **(extra_env or {})}
     return subprocess.run(
-        [sys.executable] + args, cwd=REPO, env=ENV, timeout=timeout,
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
         capture_output=True, text=True,
     )
 
@@ -145,6 +146,26 @@ def test_example_tournament_cli():
     standings = res["standings"]
     assert set(standings) == {"random", "alphabeta-2"}
     assert standings["alphabeta-2"]["elo"] > standings["random"]["elo"]
+
+
+def test_bench_scaling_cli():
+    """Weak-scaling harness emits one JSON line per mesh size + summary."""
+    r = run_example(
+        ["bench_scaling.py"],
+        timeout=240,
+        extra_env={
+            "GOBBLET_SCALING_MAX_DEVICES": "2",
+            "GOBBLET_SCALING_BATCH": "512",
+            "GOBBLET_SCALING_STEPS": "8",
+            "GOBBLET_SCALING_REPEATS": "1",
+        },
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+    assert lines[-1]["metric"] == "weak_scaling_efficiency"
+    per_size = [rec for rec in lines if rec["metric"] == "weak_scaling_env_steps_per_sec"]
+    assert [rec["devices"] for rec in per_size] == [1, 2]
+    assert all(rec["value"] > 0 for rec in per_size)
 
 
 def test_example_user_input_cpu_only():

@@ -76,7 +76,7 @@ def test_gumbel_pi_target_is_distribution(net_and_params):
 
     boards = jnp.zeros((4, 3, 9), jnp.int8)
     players = jnp.zeros(4, jnp.int32)
-    actions, pi, q, visits = gumbel_search(
+    actions, pi, q, visits, root_v = gumbel_search(
         net_apply, params, boards, players, jax.random.PRNGKey(0),
         GumbelConfig(num_sims=16),
     )
@@ -100,6 +100,77 @@ def test_gumbel_exploration_varies_with_key(net_and_params):
     a1 = np.asarray(pol(jax.random.PRNGKey(1), board, cur))
     a2 = np.asarray(pol(jax.random.PRNGKey(2), board, cur))
     assert (a1 != a2).any()  # gumbel root noise explores
+
+
+def test_mixed_value_estimator_formula():
+    """v_mix matches the paper's closed form and falls back to v_hat when
+    nothing is visited (Danihelka et al. 2022, App. D)."""
+    from gobblet_rl_tpu.search.gumbel import _mixed_value
+
+    legal = jnp.zeros(54, bool).at[jnp.array([0, 1, 2, 3])].set(True)
+    priors = jnp.zeros(54).at[jnp.array([0, 1, 2, 3])].set(
+        jnp.array([0.4, 0.3, 0.2, 0.1])
+    )
+    n = jnp.zeros(54).at[0].set(2.0).at[1].set(1.0)
+    q = jnp.zeros(54).at[0].set(0.5).at[1].set(-0.2)
+    v_hat = jnp.float32(0.1)
+
+    got = float(_mixed_value(v_hat, q, n, priors, legal))
+    q_avg = (0.4 * 0.5 + 0.3 * -0.2) / (0.4 + 0.3)
+    expected = (0.1 + 3.0 * q_avg) / (1.0 + 3.0)
+    assert abs(got - expected) < 1e-6
+
+    # unvisited root: plain network value
+    none_visited = float(_mixed_value(v_hat, q, jnp.zeros(54), priors, legal))
+    assert abs(none_visited - 0.1) < 1e-6
+
+
+def test_gumbel_root_value_certified_win(net_and_params):
+    """A position with an immediate winning move returns root_value == +1
+    (the exact 1-ply solver certifies it regardless of the net)."""
+    net, params = net_and_params
+
+    def net_apply(p, o):
+        return net.apply(p, o)
+
+    b = rules_np.empty_board()
+    b = rules_np.apply_action(b, 0, 0)
+    b = rules_np.apply_action(b, 1, 8)
+    b = rules_np.apply_action(b, 0, 10)   # P1 has cells 0,1: 20 wins (cell 2)
+    b = rules_np.apply_action(b, 1, 16)
+    _, _, _, _, root_v = gumbel_search(
+        net_apply, params, jnp.asarray(b)[None], jnp.zeros(1, jnp.int32),
+        jax.random.PRNGKey(0), GumbelConfig(num_sims=8),
+    )
+    assert float(root_v[0]) == 1.0
+
+
+def test_assign_outcomes_bootstrap():
+    """Unfinished-game plies bootstrap from the last ply's signed estimate;
+    finished plies keep the exact outcome."""
+    from gobblet_rl_tpu.train.alphazero import assign_outcomes
+
+    L, B = 4, 2
+    done = jnp.array([[False, False], [True, False],
+                      [False, False], [False, False]])
+    winner = jnp.zeros((L, B), jnp.int8).at[1, 0].set(1)
+    player = jnp.array([[0, 1], [1, 0], [0, 1], [1, 0]], jnp.int32)
+    bootstrap = jnp.full((L, B), 0.25)
+
+    # no bootstrap: tail of env 0 and all of env 1 invalid
+    z, valid = assign_outcomes(done, winner, player)
+    assert valid.tolist() == [[True, False], [True, False],
+                              [False, False], [False, False]]
+    assert z[0, 0] == 1.0 and z[1, 0] == -1.0  # mover-perspective outcome
+
+    # bootstrap: everything valid, unfinished plies use +-0.25
+    z, valid = assign_outcomes(done, winner, player, bootstrap)
+    assert valid.all()
+    assert z[0, 0] == 1.0 and z[1, 0] == -1.0          # outcomes unchanged
+    np.testing.assert_allclose(z[2, 0], 0.25)           # mover 0: +
+    np.testing.assert_allclose(z[3, 0], -0.25)          # mover 1: -
+    np.testing.assert_allclose(np.asarray(z[:, 1]),
+                               [-0.25, 0.25, -0.25, 0.25])
 
 
 def test_alphazero_gumbel_segment_and_iteration():
