@@ -46,6 +46,16 @@ def test_example_greedy_watch_text():
     assert "Final rewards" in r.stdout
 
 
+def test_main_pygbag_entry_text():
+    """The asyncio-pump browser/desktop entry plays a full greedy game."""
+    r = run_example(
+        ["main.py", "--render_mode", "text", "--seed", "9", "--games", "1",
+         "--depth", "1"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TURN" in r.stdout
+
+
 def test_main_random_text():
     r = run_example(["main_random.py", "--render_mode", "text", "--seed", "3"])
     assert r.returncode == 0, r.stderr[-2000:]
