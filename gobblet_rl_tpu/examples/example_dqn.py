@@ -121,14 +121,14 @@ def watch(args, params=None):
 
     from gobblet_rl_tpu import gobblet_v1
     from gobblet_rl_tpu.interactive.session import GameSession
-    from gobblet_rl_tpu.models.mlp import QNet, masked_argmax
+    from gobblet_rl_tpu.models.mlp import masked_argmax
     from gobblet_rl_tpu.policies.greedy import GreedyGobbletPolicy
     from gobblet_rl_tpu.policies.random_policy import RandomAdmissiblePolicy
     from gobblet_rl_tpu.train import checkpoint as ckpt
     from gobblet_rl_tpu.train import dqn
 
     config = make_config(args)
-    net = QNet(hidden_sizes=config.hidden_sizes)
+    net = dqn.make_net(config)
     if params is None:
         import optax
 
@@ -175,12 +175,12 @@ def play(args):
     import jax
     import optax
 
-    from gobblet_rl_tpu.models.mlp import QNet, masked_argmax
+    from gobblet_rl_tpu.models.mlp import masked_argmax
     from gobblet_rl_tpu.train import checkpoint as ckpt
     from gobblet_rl_tpu.train import dqn
 
     config = make_config(args)
-    net = QNet(hidden_sizes=config.hidden_sizes)
+    net = dqn.make_net(config)
     ts = dqn.init_train_state(config, net, optax.adam(1e-4), jax.random.PRNGKey(0))
     params = ts.params
     if args.resume_path:

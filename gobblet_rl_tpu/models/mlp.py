@@ -19,9 +19,14 @@ import jax.numpy as jnp
 
 
 class QNet(nn.Module):
+    """MLP Q-net; ``dueling=True`` splits the head into value + advantage
+    streams (Wang et al. 2016): Q = V + A - mean(A), an upgrade knob over
+    the reference's plain head."""
+
     num_actions: int = 54
     hidden_sizes: Sequence[int] = (128, 128, 128, 128)
     dtype: jnp.dtype = jnp.bfloat16  # MXU-friendly compute dtype
+    dueling: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
@@ -29,7 +34,14 @@ class QNet(nn.Module):
         for h in self.hidden_sizes:
             x = nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = nn.relu(x)
-        q = nn.Dense(self.num_actions, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.dueling:
+            adv = nn.Dense(self.num_actions, dtype=self.dtype,
+                           param_dtype=jnp.float32)(x)
+            val = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            q = val + adv - adv.mean(axis=-1, keepdims=True)
+        else:
+            q = nn.Dense(self.num_actions, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
         return q.astype(jnp.float32)
 
 

@@ -24,7 +24,6 @@ digests prove the process-spanning gradient sync).  It is executed by
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import hashlib
 import json
 import os
@@ -78,7 +77,6 @@ def run_worker(
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from gobblet_rl_tpu.models.mlp import QNet
     from gobblet_rl_tpu.ops import batched_core as bc
     from gobblet_rl_tpu.parallel import sharded_train
     from gobblet_rl_tpu.train import dqn, replay
@@ -93,7 +91,7 @@ def run_worker(
         update_per_collect=2,
         opponent="random",
     )
-    net = QNet(hidden_sizes=config.hidden_sizes)
+    net = dqn.make_net(config)
     optimizer = optax.adam(config.lr)
     key = jax.random.PRNGKey(0)
 

@@ -97,10 +97,15 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
         obs, action, reward_n, done_n, obs_n, mask_n = replay.sample(
             buffer, key, local.batch_size
         )
-        q_next = net.apply(ts.target_params, obs_n)
-        target = reward_n + (local.gamma ** local.n_step) * (~done_n) * jnp.max(
-            masked_q(q_next, mask_n), axis=-1
-        )
+        q_next = masked_q(net.apply(ts.target_params, obs_n), mask_n)
+        if local.double:
+            a_star = jnp.argmax(
+                masked_q(net.apply(ts.params, obs_n), mask_n), axis=-1
+            )
+            q_star = jnp.take_along_axis(q_next, a_star[:, None], axis=-1)[:, 0]
+        else:
+            q_star = jnp.max(q_next, axis=-1)
+        target = reward_n + (local.gamma ** local.n_step) * (~done_n) * q_star
         target = jax.lax.stop_gradient(target)
 
         def loss_fn(params):

@@ -26,6 +26,47 @@ def small_config(**kw):
     return dqn.DQNConfig(**defaults)
 
 
+def test_dueling_head_identity():
+    """Dueling head: Q = V + A - mean(A), so Q - mean(Q) == A - mean(A) and
+    the head actually changes the parameter structure."""
+    net = QNet(hidden_sizes=(32,), dueling=True)
+    obs = jnp.zeros((4, 117), jnp.int8)
+    params = net.init(jax.random.PRNGKey(0), obs)
+    # value/advantage streams exist: 1 torso + 2 head Dense layers
+    assert len(params["params"]) == 3
+    q = net.apply(params, obs)
+    assert q.shape == (4, 54)
+    plain = QNet(hidden_sizes=(32,), dueling=False)
+    assert len(plain.init(jax.random.PRNGKey(0), obs)["params"]) == 2
+
+
+def test_double_dqn_target_differs_from_vanilla():
+    """With double=True the online argmax picks the bootstrap action; on a
+    random net this must differ from the vanilla max target for some batch
+    rows (the two nets disagree), while both stay finite."""
+    cfg_d = small_config(double=True, dueling=False)
+    cfg_v = small_config(double=False, dueling=False)
+    net = QNet(hidden_sizes=(32,))
+    optimizer = optax.adam(1e-3)
+    key = jax.random.PRNGKey(3)
+    losses = {}
+    for name, cfg in (("double", cfg_d), ("vanilla", cfg_v)):
+        ts = dqn.init_train_state(cfg, net, optimizer, key)
+        # make target and online params differ so the argmax choice matters
+        ts = ts._replace(
+            target_params=jax.tree.map(lambda x: x + 0.05, ts.params)
+        )
+        it, opp = dqn.make_train_iteration(cfg, net, optimizer)
+        from gobblet_rl_tpu.train import replay as rp
+
+        env_state = dqn.init_env_state(cfg, opp, ts.opponent_params, key)
+        buffer = rp.make_buffer(cfg.buffer_size)
+        ts, env_state, buffer, _, loss = it(ts, env_state, buffer, key)
+        losses[name] = float(loss)
+        assert np.isfinite(losses[name])
+    assert losses["double"] != losses["vanilla"]
+
+
 def test_nstep_fold_terminal_rewards():
     """Hand-built segment: terminal-only rewards fold per tianshou
     compute_nstep_return semantics (gamma=0.9, n=3)."""
