@@ -61,8 +61,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume-path", type=str, default="")
     parser.add_argument("--opponent-path", type=str, default="")
     parser.add_argument("--opponent", type=str, default="random",
-                        choices=["random", "greedy", "self"])
+                        choices=["random", "greedy", "self", "mixed"],
+                        help="training opponent; 'mixed' draws random/greedy/"
+                             "self per iteration (best measured general "
+                             "strength, BASELINE.md)")
     parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--no-double", dest="double", action="store_false",
+                        help="disable double-DQN target selection")
+    parser.add_argument("--no-dueling", dest="dueling", action="store_false",
+                        help="disable the dueling value/advantage head")
+    parser.add_argument("--eps-eval", type=float, default=0.0,
+                        help="evaluation epsilon (reference tested at 0.05)")
     return parser
 
 
@@ -92,6 +101,9 @@ def make_config(args):
         num_envs=args.training_num,
         learner_player=args.agent_id - 1,
         opponent=args.opponent,
+        double=getattr(args, "double", True),
+        dueling=getattr(args, "dueling", True),
+        eps_eval=getattr(args, "eps_eval", 0.0),
     )
 
 

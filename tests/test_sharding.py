@@ -74,6 +74,35 @@ def test_sharded_alphazero_iteration(mesh8):
     assert np.isfinite(float(stats2["loss"]))
 
 
+def test_sharded_ppo_iteration(mesh8):
+    from gobblet_rl_tpu.parallel import sharded_ppo
+    from gobblet_rl_tpu.train import ppo
+
+    config = ppo.PPOConfig(
+        num_envs=32, segment_len=8, minibatches=2, epochs_per_iter=2,
+        hidden_sizes=(32, 32), model="mlp",
+    )
+    net, optimizer, st = ppo.init_ppo(config, jax.random.PRNGKey(0))
+    it = sharded_ppo.make_sharded_ppo_iteration(config, net, optimizer, mesh8)
+    env_state = mesh_mod.shard_env_state(st.env_states[0], mesh8)
+    params, opt_state, env_state, stats = it(
+        st.params[0], st.params[1], st.opt_states[0], env_state,
+        jax.random.PRNGKey(1), 0,
+    )
+    assert np.isfinite(float(stats["loss"]))
+    assert env_state.board.sharding.spec[-1] == mesh_mod.ENV_AXIS
+    # params replicated and actually updated
+    assert params["params"]["Dense_0"]["kernel"].sharding.is_fully_replicated
+    changed = jax.tree.map(lambda a, b: bool((a != b).any()), st.params[0], params)
+    assert all(jax.tree.leaves(changed))
+    # role swap reuses the compiled path with the other static lp
+    env1 = mesh_mod.shard_env_state(st.env_states[1], mesh8)
+    _, _, _, stats1 = it(
+        st.params[1], params, st.opt_states[1], env1, jax.random.PRNGKey(2), 1
+    )
+    assert np.isfinite(float(stats1["loss"]))
+
+
 def test_sharded_rollout_scales(mesh8):
     """The pure rollout shards trivially: jit with sharded inputs."""
     B = 1024
