@@ -32,6 +32,13 @@ def get_parser() -> argparse.ArgumentParser:
                         help="num_envs the checkpoint was trained with "
                         "(AZState embeds the self-play env batch, so the "
                         "restore template must match)")
+    parser.add_argument("--dqn-checkpoint", type=str, default=None,
+                        help="add a 'dqn' entry from an Orbax checkpoint dir "
+                        "(train/checkpoint.py save of a dqn.TrainState)")
+    parser.add_argument("--dqn-hidden-sizes", type=int, nargs="*",
+                        default=[128, 128, 128, 128])
+    parser.add_argument("--dqn-dueling", action=argparse.BooleanOptionalAction,
+                        default=True)
     parser.add_argument("--games", type=int, default=128,
                         help="games per pairing (color-swapped)")
     parser.add_argument("--max-plies", type=int, default=100)
@@ -74,6 +81,22 @@ def main(args=None):
         policies["alphazero"] = alphazero.az_policy(
             net, restored.params, num_sims=args.az_sims
         )
+
+    if args.dqn_checkpoint:
+        import optax
+
+        from gobblet_rl_tpu.train import checkpoint as ckpt
+        from gobblet_rl_tpu.train import dqn
+
+        config = dqn.DQNConfig(hidden_sizes=tuple(args.dqn_hidden_sizes),
+                               dueling=args.dqn_dueling)
+        net = dqn.make_net(config)
+        ts = dqn.init_train_state(config, net, optax.adam(1e-4),
+                                  jax.random.PRNGKey(0))
+        restored, _ = ckpt.restore(args.dqn_checkpoint, ts)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.dqn_checkpoint}")
+        policies["dqn"] = tournament.dqn_policy(net, restored.params)
 
     res = tournament.round_robin(policies, num_games=args.games,
                                  seed=args.seed)
