@@ -43,3 +43,28 @@ def test_vector_env_determinism():
         outs.append((np.asarray(state.board), {k: int(v) for k, v in stats.items()}))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     assert outs[0][1] == outs[1][1]
+
+
+def test_tournament_cli_dqn_checkpoint(tmp_path):
+    """--dqn-checkpoint restores a saved TrainState and enters it as 'dqn'."""
+    import argparse
+
+    import optax
+
+    from gobblet_rl_tpu.examples import example_tournament
+    from gobblet_rl_tpu.train import checkpoint as ckpt
+    from gobblet_rl_tpu.train import dqn
+
+    config = dqn.DQNConfig(hidden_sizes=(32, 32), dueling=True)
+    net = dqn.make_net(config)
+    ts = dqn.init_train_state(config, net, optax.adam(1e-4), jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path / "ckpt"), ts, step=0)
+
+    args = example_tournament.get_parser().parse_args(
+        ["--agents", "random", "--dqn-checkpoint", str(tmp_path / "ckpt"),
+         "--dqn-hidden-sizes", "32", "32", "--games", "8", "--json"]
+    )
+    res = example_tournament.main(args)
+    assert set(res["standings"]) == {"random", "dqn"}
+    pair = res["pairs"]["random vs dqn"]
+    assert pair["games"] == 8
