@@ -30,12 +30,10 @@ Self-play discipline (standard AlphaZero, Silver et al. 2017):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from gobblet_rl_tpu.models import actor_critic as ac
