@@ -158,6 +158,28 @@ def test_example_tournament_cli():
     assert standings["alphabeta-2"]["elo"] > standings["random"]["elo"]
 
 
+def test_bench_cli_json_contract():
+    """bench.py's FINAL stdout line is the headline metric (the driver
+    parses the tail); auxiliary metrics come before it."""
+    r = run_example(
+        ["bench.py"],
+        timeout=300,
+        extra_env={
+            "GOBBLET_BENCH_BATCH": "512",
+            "GOBBLET_BENCH_STEPS": "8",
+            "GOBBLET_BENCH_REPEATS": "2",
+            "GOBBLET_BENCH_TRAIN_ENVS": "64",
+        },
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+    assert lines[-1]["metric"] == "env_steps_per_sec"
+    assert set(lines[-1]) == {"metric", "value", "unit", "vs_baseline"}
+    assert lines[-1]["value"] > 0
+    train = [rec for rec in lines if rec["metric"] == "dqn_train_env_steps_per_sec"]
+    assert len(train) == 1 and train[0]["iterations_per_sec"] > 0
+
+
 def test_bench_scaling_cli():
     """Weak-scaling harness emits one JSON line per mesh size + summary."""
     r = run_example(
