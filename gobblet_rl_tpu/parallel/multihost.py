@@ -58,10 +58,12 @@ def run_worker(
     *,
     iterations: int = 2,
     num_envs: int = 32,
+    family: str = "dqn",
     emit=print,
 ) -> dict:
-    """One process of a multi-host DQN run; returns (and emits as one JSON
-    line) ``{"process_id", "loss", "digest", "devices", "processes"}``."""
+    """One process of a multi-host training run (``family``: dqn | az | ppo);
+    returns (and emits as one JSON line)
+    ``{"process_id", "loss", "digest", "devices", "processes", ...}``."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -74,25 +76,12 @@ def run_worker(
     )
     assert jax.process_count() == num_processes, jax.process_count()
 
-    import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gobblet_rl_tpu.ops import batched_core as bc
-    from gobblet_rl_tpu.parallel import sharded_train
-    from gobblet_rl_tpu.train import dqn, replay
 
     mesh = mesh_mod.make_mesh()
     n_dev = len(jax.devices())
-    config = dqn.DQNConfig(
-        num_envs=num_envs,
-        buffer_size=max(256, 8 * num_envs),
-        batch_size=num_envs,
-        segment_len=4,
-        update_per_collect=2,
-        opponent="random",
-    )
-    net = dqn.make_net(config)
-    optimizer = optax.adam(config.lr)
     key = jax.random.PRNGKey(0)
 
     # Every process builds identical host values (same seed / zero init), so
@@ -104,32 +93,100 @@ def run_worker(
     def put_replicated(tree):
         return jax.tree.map(lambda x: jax.device_put(x, replicated), tree)
 
-    ts = put_replicated(dqn.init_train_state(config, net, optimizer, key))
-    key = jax.device_put(key, replicated)
-    env_state = mesh_mod.shard_env_state(bc.reset_planes(config.num_envs), mesh)
-    buffer = jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
-        replay.make_buffer(config.buffer_size),
-        sharded_train._buffer_specs(replay.make_buffer(1)),
-    )
+    if family == "dqn":
+        import optax
 
-    train_iteration, _ = sharded_train.make_sharded_train_iteration(
-        config, net, optimizer, mesh
-    )
-    loss = None
-    for i in range(iterations):
-        ts, env_state, buffer, loss = train_iteration(
-            ts, env_state, buffer, jax.random.fold_in(key, i)
+        from gobblet_rl_tpu.parallel import sharded_train
+        from gobblet_rl_tpu.train import dqn, replay
+
+        config = dqn.DQNConfig(
+            num_envs=num_envs,
+            buffer_size=max(256, 8 * num_envs),
+            batch_size=num_envs,
+            segment_len=4,
+            update_per_collect=2,
+            opponent="random",
         )
-    jax.block_until_ready(loss)
+        net = dqn.make_net(config)
+        optimizer = optax.adam(config.lr)
+        ts = put_replicated(dqn.init_train_state(config, net, optimizer, key))
+        key = jax.device_put(key, replicated)
+        env_state = mesh_mod.shard_env_state(
+            bc.reset_planes(config.num_envs), mesh
+        )
+        buffer = jax.tree.map(
+            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            replay.make_buffer(config.buffer_size),
+            sharded_train._buffer_specs(replay.make_buffer(1)),
+        )
+        it, _ = sharded_train.make_sharded_train_iteration(
+            config, net, optimizer, mesh
+        )
+        loss = None
+        for i in range(iterations):
+            ts, env_state, buffer, loss = it(
+                ts, env_state, buffer, jax.random.fold_in(key, i)
+            )
+        params, extra = ts.params, {"grad_steps": int(ts.grad_steps)}
+    elif family == "az":
+        from gobblet_rl_tpu.parallel import sharded_alphazero
+        from gobblet_rl_tpu.train import alphazero as az
 
+        config = az.AZConfig(
+            num_envs=num_envs, num_sims=4, segment_len=4, temp_moves=2,
+            batch_size=num_envs, updates_per_iter=1,
+            model="mlp", hidden_sizes=(16,),
+        )
+        net, optimizer, st = az.init_alphazero(config, key)
+        params = put_replicated(st.params)
+        opt_state = put_replicated(st.opt_state)
+        key = jax.device_put(key, replicated)
+        env_state = mesh_mod.shard_env_state(st.env_state, mesh)
+        it = sharded_alphazero.make_sharded_az_iteration(
+            config, net, optimizer, mesh
+        )
+        loss = None
+        for i in range(iterations):
+            params, opt_state, env_state, stats = it(
+                params, opt_state, env_state, jax.random.fold_in(key, i)
+            )
+            loss = stats["loss"]
+        extra = {}
+    elif family == "ppo":
+        from gobblet_rl_tpu.parallel import sharded_ppo
+        from gobblet_rl_tpu.train import ppo as ppo_mod
+
+        config = ppo_mod.PPOConfig(
+            num_envs=num_envs, segment_len=4, minibatches=2,
+            epochs_per_iter=1, hidden_sizes=(16,), model="mlp",
+        )
+        net, optimizer, st = ppo_mod.init_ppo(config, key)
+        params = put_replicated(st.params[0])
+        opp_params = put_replicated(st.params[1])
+        opt_state = put_replicated(st.opt_states[0])
+        key = jax.device_put(key, replicated)
+        env_state = mesh_mod.shard_env_state(st.env_states[0], mesh)
+        it = sharded_ppo.make_sharded_ppo_iteration(config, net, optimizer, mesh)
+        loss = None
+        for i in range(iterations):
+            params, opt_state, env_state, stats = it(
+                params, opp_params, opt_state, env_state,
+                jax.random.fold_in(key, i), 0,
+            )
+            loss = stats["loss"]
+        extra = {}
+    else:
+        raise ValueError(f"unknown family {family!r}")
+
+    jax.block_until_ready(loss)
     result = {
         "process_id": process_id,
         "processes": int(jax.process_count()),
         "devices": n_dev,
+        "family": family,
         "loss": float(loss),
-        "grad_steps": int(ts.grad_steps),
-        "digest": _params_digest(ts.params),
+        "digest": _params_digest(params),
+        **extra,
     }
     emit(json.dumps(result), flush=True)
     return result
@@ -141,6 +198,7 @@ def launch_local(
     *,
     iterations: int = 2,
     num_envs: int = 32,
+    family: str = "dqn",
     timeout: float = 300.0,
 ) -> list[dict]:
     """Spawn ``num_processes`` workers on localhost (virtual CPU devices),
@@ -167,6 +225,7 @@ def launch_local(
                 "--process-id", str(i),
                 "--iterations", str(iterations),
                 "--num-envs", str(num_envs),
+                "--family", family,
             ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -201,6 +260,8 @@ def _main() -> None:
     parser.add_argument("--process-id", type=int, required=True)
     parser.add_argument("--iterations", type=int, default=2)
     parser.add_argument("--num-envs", type=int, default=32)
+    parser.add_argument("--family", type=str, default="dqn",
+                        choices=["dqn", "az", "ppo"])
     args = parser.parse_args()
     run_worker(
         args.coordinator,
@@ -208,6 +269,7 @@ def _main() -> None:
         args.process_id,
         iterations=args.iterations,
         num_envs=args.num_envs,
+        family=args.family,
     )
 
 

@@ -37,6 +37,18 @@ def test_multihost_dqn_iteration(num_processes, devices_per_process):
     assert len({r["loss"] for r in results}) == 1
 
 
+@pytest.mark.parametrize("family", ["az", "ppo"])
+def test_multihost_other_families(family):
+    """AlphaZero and PPO run the same cross-process path."""
+    results = launch_local(
+        2, 2, iterations=1, num_envs=16, family=family, timeout=280.0
+    )
+    assert len(results) == 2
+    assert all(r["family"] == family for r in results)
+    assert all(np.isfinite(r["loss"]) for r in results)
+    assert len({r["digest"] for r in results}) == 1
+
+
 def test_init_distributed_noop_without_coordinator():
     """Single-host convenience: no coordinator -> no distributed runtime."""
     from gobblet_rl_tpu.parallel import mesh as mesh_mod
