@@ -5,8 +5,11 @@ Replaces the reference's Tianshou plumbing for human-vs-agent play
 subclass whose ``collect_result(action)`` forces exactly one env step) with a
 direct driver over the wrapped AEC env.  ``collect_result`` returns the same
 statistics dict shape the reference collector produced (asserted verbatim in
-tests/test_manual_policy_collector.py:484-495 upstream): an illegal move that
-the wrapper absorbs yields an "empty" result with ``n/ep == 0``.
+tests/test_manual_policy_collector.py:484-495 upstream).  Illegal-move
+semantics follow the LIVE reference behavior measured on this host (the
+upstream test is skipped and stale there): TerminateIllegalWrapper ends the
+game with reward -1 for the offender and the board unchanged, so the result
+reports one finished episode (see tests/test_adapters.py).
 """
 
 from __future__ import annotations
