@@ -61,3 +61,30 @@ def test_full_resume_roundtrip(tmp_path):
     # resuming continues from the stored grad_steps instead of restarting
     ts2, hist2 = dqn.train(config, full_resume_dir=d)
     assert int(ts2.grad_steps) == 2 * int(ts1.grad_steps)
+
+
+def test_full_resume_preemption_equivalence(tmp_path):
+    """Elastic recovery is EXACT: a run preempted after epoch 1 and resumed
+    for epoch 2 produces bit-identical params to an uninterrupted 2-epoch
+    run (params + optimizer + env batch + replay + PRNG all checkpointed)."""
+    import dataclasses
+
+    import numpy as np
+
+    base = dqn.DQNConfig(
+        buffer_size=1024, step_per_epoch=2, segment_len=4,
+        update_per_collect=1, batch_size=64, num_envs=32, opponent="random",
+    )
+    straight, _ = dqn.train(dataclasses.replace(base, epoch=2))
+
+    d = str(tmp_path / "preempt")
+    one_epoch = dataclasses.replace(base, epoch=1)
+    dqn.train(one_epoch, full_resume_dir=d)      # "preempted" here
+    resumed, _ = dqn.train(one_epoch, full_resume_dir=d)
+
+    assert int(resumed.grad_steps) == int(straight.grad_steps)
+    same = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        straight.params, resumed.params,
+    )
+    assert all(jax.tree.leaves(same))
