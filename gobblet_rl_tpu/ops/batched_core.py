@@ -224,7 +224,14 @@ def features_lm(board: jnp.ndarray, agent: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_random_lm(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
-    """int32[B] uniform-over-mask via Gumbel argmax over the sublane axis."""
+    """int32[B] uniform-over-mask via Gumbel argmax over the sublane axis.
+
+    Measured alternatives on TPU v5e (B=512k fused rollout, round 2) both
+    lose: a 1-draw-per-env cumsum-threshold sampler is 1.8x slower (the
+    int8 sublane cumsum costs far more than the [54, B] random field —
+    threefry fuses well), and a plain uniform-field argmax (same
+    distribution, no logs) is ~3% slower and noisier; the Gumbel field is
+    the stable 189.8M steps/s configuration."""
     g = jax.random.gumbel(key, mask.shape, dtype=jnp.float32)
     return jnp.argmax(jnp.where(mask, g, -jnp.inf), axis=0).astype(jnp.int32)
 
