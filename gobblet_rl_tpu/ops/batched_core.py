@@ -231,7 +231,14 @@ def sample_random_lm(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
     int8 sublane cumsum costs far more than the [54, B] random field —
     threefry fuses well), and a plain uniform-field argmax (same
     distribution, no logs) is ~3% slower and noisier; the Gumbel field is
-    the stable 189.8M steps/s configuration."""
+    the stable configuration.  The PRNG impl is the caller's choice via the
+    key: ``jax.random.key(seed, impl="rbg")`` makes the random field ~18%
+    cheaper end-to-end than default threefry (222.8M vs 186.5M steps/s,
+    v5e, B=512k) with identical episode statistics — bench.py uses it;
+    training keeps threefry for cross-backend seed reproducibility.  Under
+    rbg the sampler ranking was re-measured and holds: gumbel 222.8M >
+    uniform-field 218.9M > raw-bits argmax 207.5M at B=512k (at B=1M all
+    three converge near 210M — the extra batch only adds HBM residency)."""
     g = jax.random.gumbel(key, mask.shape, dtype=jnp.float32)
     return jnp.argmax(jnp.where(mask, g, -jnp.inf), axis=0).astype(jnp.int32)
 
