@@ -39,6 +39,10 @@ def get_parser() -> argparse.ArgumentParser:
                         default=[128, 128, 128, 128])
     parser.add_argument("--dqn-dueling", action=argparse.BooleanOptionalAction,
                         default=True)
+    parser.add_argument("--zoo", type=str, nargs="*", default=[],
+                        help="add entries from the committed model zoo "
+                        "(gobblet_rl_tpu/zoo; e.g. alphazero_gumbel32 "
+                        "dqn_greedy ppo_selfplay)")
     parser.add_argument("--games", type=int, default=128,
                         help="games per pairing (color-swapped)")
     parser.add_argument("--max-plies", type=int, default=100)
@@ -67,6 +71,11 @@ def main(args=None):
     from gobblet_rl_tpu.eval import tournament
 
     policies = {name: build_policy(name) for name in args.agents}
+
+    for name in args.zoo:
+        from gobblet_rl_tpu import zoo
+
+        policies[name] = zoo.policy(name)
 
     if args.az_checkpoint:
         from gobblet_rl_tpu.train import alphazero

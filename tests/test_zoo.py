@@ -1,0 +1,115 @@
+"""Model zoo: the make_zoo pipeline, the committed entries, and the
+tournament CLI integration."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_make_zoo_quick_pipeline(tmp_path):
+    """scripts/make_zoo.py --quick trains, measures and saves an entry into
+    GOBBLET_ZOO_DIR; the saved blob round-trips through zoo.load/policy."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+        "GOBBLET_ZOO_DIR": str(tmp_path),
+    }
+    r = subprocess.run(
+        [sys.executable, "scripts/make_zoo.py", "--quick", "--eval-games", "8",
+         "--entries", "ppo_selfplay"],
+        cwd=REPO, env=env, timeout=600, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest["ppo_selfplay"]["family"] == "ppo"
+    assert "vs_random" in manifest["ppo_selfplay"]["metrics"]
+    assert (tmp_path / "ppo_selfplay.msgpack").stat().st_size > 1000
+
+    os.environ["GOBBLET_ZOO_DIR"] = str(tmp_path)
+    try:
+        import jax
+
+        from gobblet_rl_tpu import zoo
+        from gobblet_rl_tpu.ops import batched_core as bc
+
+        assert zoo.names() == ["ppo_selfplay"]
+        pol = zoo.policy("ppo_selfplay")
+        state = bc.reset_planes(4)
+        actions = pol(jax.random.PRNGKey(0), state.board, state.current)
+        mask = np.asarray(bc.legal_mask_planes(state.board, state.current))
+        assert all(mask[a, i] for i, a in enumerate(np.asarray(actions)))
+    finally:
+        del os.environ["GOBBLET_ZOO_DIR"]
+
+
+def _committed_names():
+    from gobblet_rl_tpu import zoo
+
+    return zoo.names()
+
+
+@pytest.mark.parametrize("name", ["alphazero_gumbel32", "dqn_greedy",
+                                  "ppo_selfplay"])
+def test_committed_entry_plays_legal_moves(name):
+    """Every committed zoo entry loads and emits mask-legal actions from a
+    batch of fresh boards (and its host_agent works on the AEC obs layout)."""
+    if name not in _committed_names():
+        pytest.skip(f"{name} not committed yet")
+    import jax
+
+    from gobblet_rl_tpu import zoo
+    from gobblet_rl_tpu.ops import batched_core as bc
+
+    kw = {"num_sims": 8} if name.startswith("alphazero") else {}
+    pol = zoo.policy(name, **kw)
+    state = bc.reset_planes(4)
+    actions = pol(jax.random.PRNGKey(1), state.board, state.current)
+    mask = np.asarray(bc.legal_mask_planes(state.board, state.current))
+    assert all(mask[a, i] for i, a in enumerate(np.asarray(actions)))
+
+    agent = zoo.host_agent(name, **kw)
+    from gobblet_rl_tpu import gobblet_v1
+
+    env = gobblet_v1.env()
+    env.reset(seed=3)
+    obs, *_ = env.last()
+    a = agent.compute_action(obs["observation"], obs["action_mask"])
+    assert obs["action_mask"][a] == 1
+
+
+def test_committed_metrics_beat_random():
+    """The manifest's measured strength must clear sanity floors (these are
+    the numbers advertised in docs/RESULTS.md)."""
+    from gobblet_rl_tpu import zoo
+
+    if not zoo.names():
+        pytest.skip("zoo empty")
+    for name in zoo.names():
+        metrics = zoo.meta(name)["metrics"]
+        assert metrics["vs_random"] >= 0.8, (name, metrics)
+
+
+def test_tournament_cli_zoo_entry():
+    if "dqn_greedy" not in _committed_names():
+        pytest.skip("dqn_greedy not committed yet")
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+    }
+    r = subprocess.run(
+        [sys.executable, "-m", "gobblet_rl_tpu.examples.example_tournament",
+         "--agents", "random", "--zoo", "dqn_greedy", "--games", "8",
+         "--json"],
+        cwd=REPO, env=env, timeout=600, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(res["standings"]) == {"random", "dqn_greedy"}
