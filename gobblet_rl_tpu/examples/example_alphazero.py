@@ -46,6 +46,9 @@ def get_parser() -> argparse.ArgumentParser:
                         "expert at this depth")
     parser.add_argument("--agent-id", type=int, default=1, choices=[1, 2],
                         help="which seat the search agent takes in --watch")
+    parser.add_argument("--zoo", type=str, default="",
+                        help="--watch with a committed zoo entry (e.g. "
+                        "alphazero_gumbel32) instead of --checkpoint-dir")
     return parser
 
 
@@ -86,6 +89,10 @@ def watch(args, net=None, params=None):
     from gobblet_rl_tpu.train import alphazero
     from gobblet_rl_tpu.train import checkpoint as ckpt
 
+    if net is None and getattr(args, "zoo", ""):
+        from gobblet_rl_tpu import zoo
+
+        net, params, _ = zoo.load(args.zoo)
     if net is None:
         config = alphazero.AZConfig(model=args.model)
         net, _, st = alphazero.init_alphazero(config, jax.random.PRNGKey(args.seed))

@@ -60,6 +60,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help="the learned agent plays as the agent_id-th player")
     parser.add_argument("--resume-path", type=str, default="")
     parser.add_argument("--opponent-path", type=str, default="")
+    parser.add_argument("--zoo", type=str, default="",
+                        help="watch/play with a committed zoo entry (e.g. "
+                        "dqn_greedy) instead of --resume-path")
     parser.add_argument("--opponent", type=str, default="random",
                         choices=["random", "greedy", "self", "mixed"],
                         help="training opponent; 'mixed' draws random/greedy/"
@@ -141,6 +144,10 @@ def watch(args, params=None):
 
     config = make_config(args)
     net = dqn.make_net(config)
+    if params is None and getattr(args, "zoo", ""):
+        from gobblet_rl_tpu import zoo
+
+        net, params, _ = zoo.load(args.zoo)
     if params is None:
         import optax
 
@@ -193,10 +200,16 @@ def play(args):
 
     config = make_config(args)
     net = dqn.make_net(config)
-    ts = dqn.init_train_state(config, net, optax.adam(1e-4), jax.random.PRNGKey(0))
-    params = ts.params
-    if args.resume_path:
-        params = ckpt.load_params(args.resume_path, params)
+    if getattr(args, "zoo", ""):
+        from gobblet_rl_tpu import zoo
+
+        net, params, _ = zoo.load(args.zoo)
+    else:
+        ts = dqn.init_train_state(config, net, optax.adam(1e-4),
+                                  jax.random.PRNGKey(0))
+        params = ts.params
+        if args.resume_path:
+            params = ckpt.load_params(args.resume_path, params)
 
     class QPolicy:
         def compute_action(self, obs, mask):

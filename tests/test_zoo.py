@@ -96,6 +96,27 @@ def test_committed_metrics_beat_random():
         assert metrics["vs_random"] >= 0.8, (name, metrics)
 
 
+def test_example_dqn_watch_zoo():
+    """--watch --zoo renders a full game with the committed DQN params."""
+    if "dqn_greedy" not in _committed_names():
+        pytest.skip("dqn_greedy not committed yet")
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+        "SDL_VIDEODRIVER": "dummy",
+        "SDL_AUDIODRIVER": "dummy",
+    }
+    r = subprocess.run(
+        [sys.executable, "-m", "gobblet_rl_tpu.examples.example_dqn",
+         "--watch", "--zoo", "dqn_greedy", "--render_mode", "text",
+         "--opponent", "random"],
+        cwd=REPO, env=env, timeout=600, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Final rewards" in r.stdout
+
+
 def test_tournament_cli_zoo_entry():
     if "dqn_greedy" not in _committed_names():
         pytest.skip("dqn_greedy not committed yet")
