@@ -63,6 +63,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--zoo", type=str, default="",
                         help="watch/play with a committed zoo entry (e.g. "
                         "dqn_greedy) instead of --resume-path")
+    parser.add_argument("--both-seats", action="store_true",
+                        help="train one net over alternating per-env seats "
+                        "(seat-agnostic; beyond the reference's pinned seat)")
     parser.add_argument("--opponent", type=str, default="random",
                         choices=["random", "greedy", "self", "mixed"],
                         help="training opponent; 'mixed' draws random/greedy/"
@@ -102,7 +105,8 @@ def make_config(args):
         batch_size=args.batch_size,
         hidden_sizes=tuple(args.hidden_sizes),
         num_envs=args.training_num,
-        learner_player=args.agent_id - 1,
+        learner_player="both" if getattr(args, "both_seats", False)
+        else args.agent_id - 1,
         opponent=args.opponent,
         double=getattr(args, "double", True),
         dueling=getattr(args, "dueling", True),

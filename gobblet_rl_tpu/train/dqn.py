@@ -61,7 +61,11 @@ class DQNConfig:
     dueling: bool = True       # dueling value/advantage head (models/mlp.py)
     eps_eval: float = 0.0      # evaluation epsilon (reference tests at 0.05)
     num_envs: int = 1024
-    learner_player: int = 0
+    # 0 / 1 pin the learner to one seat (the reference's setup,
+    # example_tianshou_DQN.py:82-86); "both" assigns alternating per-env
+    # seats so one net trains (and evaluates) as either player — closes the
+    # seat asymmetry a color-swapped tournament exposes in seat-pinned runs
+    learner_player: int | str = 0
     opponent: str = "random"          # "random" | "greedy" | "self" | "mixed"
     greedy_depth: int = 2
     # opponent == "mixed": per-iteration draw over (random, greedy, self).
@@ -124,23 +128,38 @@ def _eps_greedy(key, q, mask_bf, eps):
     return jnp.where(explore, rand, greedy)
 
 
+def seat_array(learner_player, batch: int) -> jnp.ndarray:
+    """int32[B] learner seat per env: constant for a pinned seat, alternating
+    halves for ``"both"`` (works at any per-shard batch size)."""
+    if learner_player == "both":
+        return (jnp.arange(batch, dtype=jnp.int32) % 2)
+    return jnp.full(batch, learner_player, jnp.int32)
+
+
+def _seat_reward(rewards, seat):
+    """float32[B]: each env's reward from its learner seat's perspective."""
+    return jnp.where(seat == 0, rewards[0], rewards[1])
+
+
 def make_learner_step(config: DQNConfig, opponent_fn):
     """One learner transition: learner ply + opponent reply + auto-reset,
-    keeping every env at the learner's turn."""
+    keeping every env at its learner seat's turn."""
     lp = config.learner_player
 
     def learner_step(state, actions, key, opp_params):
+        seat = seat_array(lp, state.current.shape[0])
         s1 = bc.step_planes(state, actions)
-        r = s1.rewards[lp]
+        r = _seat_reward(s1.rewards, seat)
         k1, k2 = jax.random.split(key)
         a_opp = opponent_fn(k1, s1.board, s1.current, opp_params)
         s2 = bc.step_planes(s1, a_opp)  # frozen no-op where s1.done
-        r = r + s2.rewards[lp]
+        r = r + _seat_reward(s2.rewards, seat)
         done = s2.done
         s3 = bc.autoreset_planes(s2)
-        if lp == 1:
-            # after reset, player 0 opens; the opponent must move first
-            need = s3.current != lp
+        if lp != 0:
+            # after a reset, player 0 opens; envs whose learner seat is 1
+            # need the opponent to move first
+            need = s3.current != seat
             a0 = opponent_fn(k2, s3.board, s3.current, opp_params)
             s4 = bc.step_planes(s3, a0)
             s3 = jax.tree.map(partial(_sel, need), s4, s3)
@@ -151,9 +170,12 @@ def make_learner_step(config: DQNConfig, opponent_fn):
 
 def init_env_state(config: DQNConfig, opponent_fn, opp_params, key):
     state = bc.reset_planes(config.num_envs)
-    if config.learner_player == 1:
+    if config.learner_player != 0:
+        seat = seat_array(config.learner_player, config.num_envs)
+        need = state.current != seat
         a0 = opponent_fn(key, state.board, state.current, opp_params)
-        state = bc.step_planes(state, a0)
+        stepped = bc.step_planes(state, a0)
+        state = jax.tree.map(partial(_sel, need), stepped, state)
     return state
 
 
@@ -272,8 +294,8 @@ def make_eval_fn(config: DQNConfig, net: QNet, opponent_fn):
     @partial(jax.jit, static_argnums=(3, 4))
     def evaluate(params, opp_params, key, num_steps: int = 64, num_envs: int = 512):
         state = bc.reset_planes(num_envs)
-        lp = config.learner_player
-        lsign = 1 if lp == 0 else -1
+        seat = seat_array(config.learner_player, num_envs)
+        lsign = jnp.where(seat == 0, 1, -1).astype(jnp.int8)
 
         def ply(carry, _):
             state, key = carry
@@ -282,7 +304,7 @@ def make_eval_fn(config: DQNConfig, net: QNet, opponent_fn):
             q = net.apply(params, _obs_bf(state.board, state.current))
             a_learn = _eps_greedy(k_eps, q, mask.T, config.eps_eval)
             a_opp = opponent_fn(k_opp, state.board, state.current, opp_params)
-            actions = jnp.where(state.current == lp, a_learn, a_opp)
+            actions = jnp.where(state.current == seat, a_learn, a_opp)
             stepped = bc.step_planes(state, actions)
             out = (
                 (stepped.winner == lsign).sum(dtype=jnp.int32),

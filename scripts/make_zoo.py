@@ -86,6 +86,7 @@ def make_dqn(args):
         opponent="greedy", epoch=4 if args.quick else 120,
         step_per_epoch=4 if args.quick else 24,
         num_envs=64 if args.quick else 1024, seed=args.seed,
+        learner_player="both",   # seat-agnostic: honest color-swapped play
     )
     t0 = time.time()
     ts, history = dqn.train(config)
@@ -104,7 +105,7 @@ def make_dqn(args):
         "recipe": (f"scripts/make_zoo.py: DQNConfig(opponent='greedy', "
                    f"epoch={config.epoch}, step_per_epoch={config.step_per_epoch}, "
                    f"num_envs={config.num_envs}, double/dueling on, "
-                   f"seed={args.seed})"),
+                   f"learner_player='both', seed={args.seed})"),
         "metrics": metrics,
     })
 

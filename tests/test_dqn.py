@@ -143,6 +143,30 @@ def test_learner_player_1_invariant():
     assert (np.asarray(env_state.current) == 1).all()
 
 
+def test_learner_player_both_invariant():
+    """Seat-agnostic training: alternating envs stay at THEIR learner seat
+    after init and after every iteration, and eval runs per-env seats."""
+    config = small_config(learner_player="both")
+    net = QNet(hidden_sizes=config.hidden_sizes)
+    opt = optax.adam(config.lr)
+    key = jax.random.PRNGKey(0)
+    ts = dqn.init_train_state(config, net, opt, key)
+    it, opp_fn = dqn.make_train_iteration(config, net, opt)
+    env_state = dqn.init_env_state(config, opp_fn, ts.opponent_params, key)
+    seats = np.arange(config.num_envs) % 2
+    assert (np.asarray(env_state.current) == seats).all()
+    buf = replay.make_buffer(config.buffer_size)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        ts, env_state, buf, key2, loss = it(ts, env_state, buf, sub)
+    assert np.isfinite(float(loss))
+    assert (np.asarray(env_state.current) == seats).all()
+    evaluate = dqn.make_eval_fn(config, net, opp_fn)
+    w, l, other = evaluate(ts.params, ts.opponent_params, key,
+                           num_steps=16, num_envs=64)
+    assert int(w) + int(l) + int(other) > 0
+
+
 @pytest.mark.slow
 def test_dqn_learns_vs_random():
     """Short training run must clearly beat random (win-rate > 0.75)."""
