@@ -115,6 +115,12 @@ def make_ppo(args):
     from gobblet_rl_tpu.eval import tournament
     from gobblet_rl_tpu.train import ppo
 
+    # 40 iterations, not more: a 200-iteration run was measured WORSE
+    # (0.895/0.648/0.059 vs random/greedy-1/greedy-2 against 40 iters'
+    # 0.934/0.668/0.027) — plain shared-policy self-play cycles rather than
+    # keeps improving, the same failure mode docs/RESULTS.md records for
+    # generation self-play; DQN's mixed pool is the fix, kept out of PPO to
+    # preserve the reference-equivalent recipe.
     config = ppo.PPOConfig(
         shared_policy=True, iterations=4 if args.quick else 40,
         num_envs=64 if args.quick else 512, seed=args.seed,
