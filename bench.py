@@ -56,7 +56,8 @@ def bench_rollout() -> float:
 
     # rbg PRNG: threefry spends most of the rollout's VPU time generating the
     # [54, B] random field; the TPU-native rbg generator is measured 18%
-    # faster (220.7M vs 186.5M steps/s, v5e, B=512k) with identical episode
+    # faster (222.8M vs 186.5M steps/s, v5e, B=512k — the ablation run in
+    # docs/RESULTS.md; full-run median 218.1M) with identical episode
     # statistics.  unsafe_rbg was no faster and noisier (167-220M spread).
     key = jax.random.key(0, impl="rbg")
     state = bc.reset_planes(BATCH)

@@ -92,7 +92,7 @@ def watch(args, net=None, params=None):
     if net is None and getattr(args, "zoo", ""):
         from gobblet_rl_tpu import zoo
 
-        net, params, _ = zoo.load(args.zoo)
+        net, params, _ = zoo.load(args.zoo, expect_family='alphazero')
     if net is None:
         config = alphazero.AZConfig(model=args.model)
         net, _, st = alphazero.init_alphazero(config, jax.random.PRNGKey(args.seed))

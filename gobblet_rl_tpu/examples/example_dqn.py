@@ -151,7 +151,7 @@ def watch(args, params=None):
     if params is None and getattr(args, "zoo", ""):
         from gobblet_rl_tpu import zoo
 
-        net, params, _ = zoo.load(args.zoo)
+        net, params, _ = zoo.load(args.zoo, expect_family='dqn')
     if params is None:
         import optax
 
@@ -207,7 +207,7 @@ def play(args):
     if getattr(args, "zoo", ""):
         from gobblet_rl_tpu import zoo
 
-        net, params, _ = zoo.load(args.zoo)
+        net, params, _ = zoo.load(args.zoo, expect_family='dqn')
     else:
         ts = dqn.init_train_state(config, net, optax.adam(1e-4),
                                   jax.random.PRNGKey(0))

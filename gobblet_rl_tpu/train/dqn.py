@@ -130,7 +130,7 @@ def _eps_greedy(key, q, mask_bf, eps):
 
 def seat_array(learner_player, batch: int) -> jnp.ndarray:
     """int32[B] learner seat per env: constant for a pinned seat, alternating
-    halves for ``"both"`` (works at any per-shard batch size)."""
+    even/odd envs for ``"both"`` (works at any per-shard batch size)."""
     if learner_player == "both":
         return (jnp.arange(batch, dtype=jnp.int32) % 2)
     return jnp.full(batch, learner_player, jnp.int32)

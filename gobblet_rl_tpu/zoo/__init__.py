@@ -76,13 +76,24 @@ def _build_net(entry: Dict[str, Any]):
     raise ValueError(f"unknown zoo family {family!r}")
 
 
-def load(name: str) -> Tuple[Any, Any, Dict[str, Any]]:
-    """Return ``(net, params, meta)`` for a zoo entry."""
+def load(name: str, expect_family: str | None = None) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Return ``(net, params, meta)`` for a zoo entry.
+
+    ``expect_family`` guards cross-family misuse: loading an alphazero
+    entry into the DQN example would otherwise fail deep inside the policy
+    with an opaque shape error (its apply() returns a (logits, value)
+    tuple, not Q-values)."""
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
     entry = meta(name)
+    if expect_family is not None and entry["family"] != expect_family:
+        raise ValueError(
+            f"zoo entry {name!r} is family {entry['family']!r}, but this "
+            f"loader expects {expect_family!r}; pick one of "
+            f"{[n for n in names() if meta(n)['family'] == expect_family] or 'none'}"
+        )
     net = _build_net(entry)
     template = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 117), jnp.int8))
     with open(os.path.join(_zoo_dir(), entry["file"]), "rb") as f:
@@ -101,9 +112,14 @@ def save(name: str, params, entry: Dict[str, Any]) -> None:
         f.write(serialization.to_bytes(params))
     m = _manifest()
     m[name] = entry
-    with open(os.path.join(_zoo_dir(), "manifest.json"), "w") as f:
+    # atomic replace: a crash mid-dump must not corrupt the manifest that
+    # every zoo.load/names call depends on
+    path = os.path.join(_zoo_dir(), "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(m, f, indent=2, sort_keys=True)
         f.write("\n")
+    os.replace(tmp, path)
 
 
 def policy(name: str, **overrides):
