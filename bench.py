@@ -1,12 +1,21 @@
-"""Headline benchmark: batched env throughput + fused training loop, one TPU chip.
+"""Headline benchmark: batched env throughput + fused training loops, one TPU chip.
 
 Measures
 1. the lane-major fused rollout (random-admissible sampling + legal mask +
    step + win detection + auto-reset under one lax.scan, zero host
-   round-trips), and
-2. the fused DQN actor-learner iteration users actually run for training
-   (collect + n-step fold + replay insert + minibatch updates in ONE XLA
-   program, train/dqn.py).
+   round-trips),
+2. the fused actor-learner iteration of every training family users run —
+   DQN (train/dqn.py), AlphaZero (train/alphazero.py), PPO (train/ppo.py) —
+   each as ONE XLA program per iteration, and
+3. roofline accounting per program from XLA's compiled cost model: FLOP/s
+   vs the chip's bf16 peak (MFU) and bytes/s vs HBM bandwidth.
+
+Roofline reading (v5e, measured round 3): these are tiny-state RL programs,
+not LLMs — the rollout does no matmuls at all (its ceiling is VPU
+throughput on int8/bool lanes + the [54,B] random field), and the train
+loops run MLPs of ~70k params over huge batches, so the env-stepping and
+data-movement side dominates.  MFU is reported to make that explicit, not
+because matmul peak is the right ceiling for every program.
 
 Round-1 note on variance: single repeats showed a 3x outlier (191M/191M/64M
 steps/s) because each repeat re-created and re-transferred the env state and
@@ -40,6 +49,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # random-admissible driver over gobblet_v1.env(), pettingzoo 1.26, numpy path.
 REFERENCE_STEPS_PER_SEC = 265.0
 
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16 MXU, ~819 GB/s HBM.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
+
 BATCH = int(os.environ.get("GOBBLET_BENCH_BATCH", str(524288)))
 STEPS = int(os.environ.get("GOBBLET_BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("GOBBLET_BENCH_REPEATS", "5"))
@@ -50,8 +63,37 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_rollout() -> float:
-    """Steady-state fused-rollout throughput; returns the median steps/s."""
+def xla_cost(jitted, *args, **kwargs):
+    """(flops, bytes) per call from XLA's compiled cost model, or None if
+    the backend does not expose cost analysis."""
+    try:
+        analysis = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):  # older jax: one per device
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)), float(
+            analysis.get("bytes accessed", 0.0)
+        )
+    except Exception as e:  # axon remote backends may not expose it
+        log(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+def roofline(result: dict, cost, calls_per_sec: float) -> dict:
+    """Attach MFU / HBM-utilization fields from an XLA cost estimate."""
+    if cost is None:
+        return result
+    flops, nbytes = cost
+    result["xla_flops_per_iter"] = round(flops)
+    result["xla_bytes_per_iter"] = round(nbytes)
+    result["tflops_per_sec"] = round(flops * calls_per_sec / 1e12, 3)
+    result["mfu"] = round(flops * calls_per_sec / PEAK_BF16_FLOPS, 5)
+    result["hbm_gbytes_per_sec"] = round(nbytes * calls_per_sec / 1e9, 1)
+    result["hbm_util"] = round(nbytes * calls_per_sec / PEAK_HBM_BYTES, 4)
+    return result
+
+
+def bench_rollout() -> tuple:
+    """Steady-state fused-rollout throughput; returns (median steps/s, aux)."""
     from gobblet_rl_tpu.ops import batched_core as bc
 
     # rbg PRNG: threefry spends most of the rollout's VPU time generating the
@@ -84,10 +126,29 @@ def bench_rollout() -> float:
         f"(min {min(rates):,.0f}, max {max(rates):,.0f}, "
         f"spread {(max(rates) - min(rates)) / med:.1%})"
     )
-    return med
+
+    # per-call cost covers BATCH*STEPS env-steps; rescale to per-step
+    cost = xla_cost(bc.rollout_random, state, key, STEPS)
+    if cost is not None:
+        flops, nbytes = cost
+        per_step_bytes = nbytes / (BATCH * STEPS)
+        aux = {
+            "metric": "rollout_roofline",
+            "bytes_per_env_step": round(per_step_bytes, 1),
+            "flops_per_env_step": round(flops / (BATCH * STEPS), 1),
+            "hbm_gbytes_per_sec": round(med * per_step_bytes / 1e9, 1),
+            "hbm_util": round(med * per_step_bytes / PEAK_HBM_BYTES, 4),
+            "tflops_per_sec": round(med * flops / (BATCH * STEPS) / 1e12, 3),
+        }
+        log(f"# rollout roofline: {aux['bytes_per_env_step']} B/step, "
+            f"{aux['hbm_gbytes_per_sec']} GB/s ({aux['hbm_util']:.1%} of HBM), "
+            f"{aux['tflops_per_sec']} TFLOP/s")
+    else:
+        aux = None
+    return med, aux
 
 
-def bench_train_loop() -> dict:
+def bench_dqn_train() -> dict:
     """Fused DQN actor-learner iteration throughput (the loop users run)."""
     import optax
 
@@ -98,7 +159,7 @@ def bench_train_loop() -> dict:
     config = dqn.DQNConfig(
         num_envs=TRAIN_ENVS,
         buffer_size=max(1 << 18, TRAIN_ENVS * 16),
-        batch_size=min(1024, TRAIN_ENVS),
+        batch_size=min(4096, TRAIN_ENVS),
         segment_len=16,
         update_per_collect=8,
         opponent="random",
@@ -110,6 +171,8 @@ def bench_train_loop() -> dict:
     env_state = bc.reset_planes(config.num_envs)
     buffer = replay.make_buffer(config.buffer_size)
     it, _ = dqn.make_train_iteration(config, net, optimizer)
+
+    cost = xla_cost(it, ts, env_state, buffer, key)
 
     # warmup (compile) + settle
     for _ in range(2):
@@ -130,11 +193,109 @@ def bench_train_loop() -> dict:
         "iterations_per_sec": round(iters / dt, 2),
         "grad_steps_per_sec": round(iters * config.update_per_collect / dt, 1),
         "num_envs": config.num_envs,
+        "batch_size": config.batch_size,
     }
+    result = roofline(result, cost, iters / dt)
     log(
-        f"# train loop: {iters} fused iterations in {dt:.3f}s -> "
+        f"# dqn train: {iters} fused iterations in {dt:.3f}s -> "
         f"{result['iterations_per_sec']}/s, {result['value']:,.0f} env-steps/s, "
-        f"{result['grad_steps_per_sec']} grad-steps/s"
+        f"{result['grad_steps_per_sec']} grad-steps/s, "
+        f"mfu={result.get('mfu', 'n/a')}, hbm={result.get('hbm_util', 'n/a')}"
+    )
+    return result
+
+
+def bench_az_train() -> dict:
+    """Fused AlphaZero (Gumbel) self-play + update iteration (the zoo
+    recipe's configuration, train/alphazero.py)."""
+    from gobblet_rl_tpu.train import alphazero
+
+    config = alphazero.AZConfig(
+        search="gumbel", num_sims=32, num_envs=512, segment_len=48,
+        model="conv",
+    )
+    key = jax.random.PRNGKey(0)
+    net, optimizer, st = alphazero.init_alphazero(config, key)
+    it = alphazero.make_train_iteration(config, net, optimizer)
+
+    cost = xla_cost(it, st.params, st.opt_state, st.env_state, key)
+
+    params, opt_state, env_state = st.params, st.opt_state, st.env_state
+    for _ in range(2):
+        params, opt_state, env_state, stats = it(params, opt_state, env_state, key)
+        jax.block_until_ready(stats["loss"])
+
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, env_state, stats = it(params, opt_state, env_state, key)
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+    moves_per_iter = config.num_envs * config.segment_len
+    result = {
+        "metric": "az_train_env_steps_per_sec",
+        "value": round(iters * moves_per_iter / dt, 1),
+        "unit": "steps/s",
+        "iterations_per_sec": round(iters / dt, 2),
+        "sims_per_sec": round(iters * moves_per_iter * config.num_sims / dt, 1),
+        "num_envs": config.num_envs,
+        "num_sims": config.num_sims,
+    }
+    result = roofline(result, cost, iters / dt)
+    log(
+        f"# az train: {iters} iterations in {dt:.3f}s -> "
+        f"{result['iterations_per_sec']}/s, {result['value']:,.0f} moves/s, "
+        f"{result['sims_per_sec']:,.0f} sims/s, "
+        f"mfu={result.get('mfu', 'n/a')}, hbm={result.get('hbm_util', 'n/a')}"
+    )
+    return result
+
+
+def bench_ppo_train() -> dict:
+    """Fused PPO rollout + GAE + minibatch-epochs iteration (the zoo
+    recipe's league configuration, train/ppo.py)."""
+    from gobblet_rl_tpu.train import ppo
+
+    config = ppo.PPOConfig(
+        num_envs=2048, segment_len=32, shared_policy=True,
+        learner_player="both", opponent="self",
+    )
+    key = jax.random.PRNGKey(0)
+    net, optimizer, st = ppo.init_ppo(config, key)
+    it = ppo.make_train_iteration(config, net, optimizer, "self")
+
+    params, opt_state, env_state = st.params[0], st.opt_states[0], st.env_states[0]
+    cost = xla_cost(it, params, params, opt_state, env_state, key, "both")
+
+    for _ in range(2):
+        params, opt_state, env_state, key, stats = it(
+            params, params, opt_state, env_state, key, "both"
+        )
+        jax.block_until_ready(stats["loss"])
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, env_state, key, stats = it(
+            params, params, opt_state, env_state, key, "both"
+        )
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+    steps_per_iter = config.num_envs * config.segment_len
+    grad_steps = config.epochs_per_iter * config.minibatches
+    result = {
+        "metric": "ppo_train_env_steps_per_sec",
+        "value": round(iters * steps_per_iter / dt, 1),
+        "unit": "steps/s",
+        "iterations_per_sec": round(iters / dt, 2),
+        "grad_steps_per_sec": round(iters * grad_steps / dt, 1),
+        "num_envs": config.num_envs,
+    }
+    result = roofline(result, cost, iters / dt)
+    log(
+        f"# ppo train: {iters} iterations in {dt:.3f}s -> "
+        f"{result['iterations_per_sec']}/s, {result['value']:,.0f} env-steps/s, "
+        f"mfu={result.get('mfu', 'n/a')}, hbm={result.get('hbm_util', 'n/a')}"
     )
     return result
 
@@ -143,11 +304,17 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"# device: {dev.platform} {dev.device_kind}")
 
-    train_result = bench_train_loop()
-    median_rate = bench_rollout()
+    dqn_result = bench_dqn_train()
+    az_result = bench_az_train()
+    ppo_result = bench_ppo_train()
+    median_rate, rollout_aux = bench_rollout()
 
-    # auxiliary metric first; headline LAST so line-based parsers get it
-    print(json.dumps(train_result))
+    # auxiliary metrics first; headline LAST so line-based parsers get it
+    print(json.dumps(dqn_result))
+    print(json.dumps(az_result))
+    print(json.dumps(ppo_result))
+    if rollout_aux is not None:
+        print(json.dumps(rollout_aux))
     print(
         json.dumps(
             {

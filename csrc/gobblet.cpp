@@ -237,6 +237,55 @@ inline uint64_t position_hash(const int8_t* b, int player) {
   return h;
 }
 
+// --- Canonical hashing for the exact solver ---------------------------------
+// Two collapses that are exact value-equivalences of the game:
+//  * twin pieces: same-size same-color pieces are interchangeable (only the
+//    action encoding distinguishes them), so hash by signed SIZE, not id;
+//  * the 8 dihedral board symmetries (applied to all three levels at once).
+// TT moves from a collapsed sibling may be illegal in this orientation —
+// harmless, they are only used for move ordering.
+
+struct SymTables {
+  int perm[8][9];            // cell permutation per symmetry
+  uint64_t z[27][7];         // zobrist keys for signed size -3..3 (+3 idx)
+  SymTables() {
+    for (int t = 0; t < 8; ++t)
+      for (int c = 0; c < 3; ++c)
+        for (int r = 0; r < 3; ++r) {
+          int rr = r, cc = c;
+          if (t & 4) { const int tmp = rr; rr = cc; cc = tmp; }  // transpose
+          if (t & 1) rr = 2 - rr;
+          if (t & 2) cc = 2 - cc;
+          perm[t][c * 3 + r] = cc * 3 + rr;  // column-major cells (board.py:14)
+        }
+    uint64_t s = 0xB16B00B5CAFEF00DULL;
+    for (auto& cell : z)
+      for (auto& v : cell) v = splitmix64(s++);
+    for (auto& cell : z) cell[3] = 0;  // empty contributes nothing
+  }
+};
+const SymTables kSym;
+
+inline uint64_t position_hash_canonical(const int8_t* b, int player) {
+  uint64_t h[8];
+  const uint64_t side = player ? kZobrist.side : 0;
+  for (int t = 0; t < 8; ++t) h[t] = side;
+  for (int lvl = 0; lvl < 3; ++lvl) {
+    const int8_t* row = b + lvl * 9;
+    for (int i = 0; i < 9; ++i) {
+      const int8_t v = row[i];
+      if (v == 0) continue;
+      const int cv = v > 0 ? (v + 1) / 2 : -((1 - v) / 2);  // signed size
+      for (int t = 0; t < 8; ++t)
+        h[t] ^= kSym.z[lvl * 9 + kSym.perm[t][i]][cv + 3];
+    }
+  }
+  uint64_t m = h[0];
+  for (int t = 1; t < 8; ++t)
+    if (h[t] < m) m = h[t];
+  return m;
+}
+
 struct TTEntry {
   uint64_t key;
   int16_t score;
@@ -246,14 +295,23 @@ struct TTEntry {
 };
 
 constexpr size_t kTTBits = 21;  // 2M entries, 32 MiB
-constexpr size_t kTTSize = size_t{1} << kTTBits;
 TTEntry* tt_table = nullptr;
 
-inline TTEntry* tt_probe(uint64_t h) {
-  if (!tt_table) {
-    tt_table = new TTEntry[kTTSize]();
+// Solver table: the exact solve walks far more unique positions than a
+// per-move search, so it gets its own, larger namespace (kept separate so
+// salted play entries never alias proof entries).
+constexpr size_t kSolveTTBits = 27;  // 128M entries, 2 GiB
+TTEntry* tt_solve_table = nullptr;
+
+inline TTEntry* tt_probe_in(TTEntry** table, size_t bits, uint64_t h) {
+  if (!*table) {
+    *table = new TTEntry[size_t{1} << bits]();
   }
-  return &tt_table[h >> (64 - kTTBits)];
+  return &(*table)[h >> (64 - bits)];
+}
+
+inline TTEntry* tt_probe(uint64_t h) {
+  return tt_probe_in(&tt_table, kTTBits, h);
 }
 
 // Static move-ordering: large pieces first, center before edges/corners.
@@ -307,10 +365,16 @@ inline int eval_white(const int8_t* b) {
 constexpr int kMaxPly = 64;
 
 struct SearchCtx {
-  uint64_t salt;  // per-game eval jitter / TT namespace
+  uint64_t salt;  // per-game eval jitter / TT namespace (0 + exact => solver)
   long nodes;
+  bool exact = false;        // solver mode: no leaf jitter, solver TT
   int killers[kMaxPly][2];   // beta-cutoff moves per ply
   int history[2][kActions];  // cutoff frequency per player/action
+
+  TTEntry* probe(uint64_t h) {
+    return exact ? tt_probe_in(&tt_solve_table, kSolveTTBits, h)
+                 : tt_probe(h);
+  }
 };
 
 // Principal-variation negamax with TT / killer / history move ordering.
@@ -323,14 +387,16 @@ int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
   if (w != 0) return w == my_sign ? kWin - ply : -(kWin - ply);
   if (depth <= 0) {
     const uint64_t h = position_hash(b, player);
-    const int jitter = static_cast<int>(splitmix64(h ^ ctx->salt) & 3) - 1;
+    const int jitter =
+        ctx->exact ? 0 : static_cast<int>(splitmix64(h ^ ctx->salt) & 3) - 1;
     const int e = eval_white(b) + jitter;
     return player == 0 ? e : -e;
   }
   ++ctx->nodes;
 
-  const uint64_t h = position_hash(b, player) ^ ctx->salt;
-  TTEntry* e = tt_probe(h);
+  const uint64_t h = ctx->exact ? position_hash_canonical(b, player)
+                                : position_hash(b, player) ^ ctx->salt;
+  TTEntry* e = ctx->probe(h);
   int tt_move = -1;
   if (e->flag && e->key == h) {
     tt_move = e->move;
@@ -460,6 +526,139 @@ int gob_alphabeta_action(const int8_t* board, int player, int depth,
   return alphabeta_action_impl(board, player, depth, salt);
 }
 
+// ---------------------------------------------------------------------------
+// Exact solver (ground-truth oracle).
+//
+// Deterministic iterative-deepening negamax with no leaf jitter and a
+// dedicated 16M-entry transposition table.  A returned |score| above the
+// mate threshold is a PROVEN forced win/loss within the searched horizon:
+// mate scores (kWin - ply) can only arise from actual winner_impl() hits,
+// heuristic leaves are bounded far below the threshold, and alpha-beta /
+// TT bounds preserve proven values (standard mate-distance-adjusted TT).
+// The game itself has no draw-by-repetition rule (the reference plays to
+// a win or a ply cap), so a depth-limited proof is a proof of forced win
+// within that many plies of any play.
+// ---------------------------------------------------------------------------
+
+// Solve `board` with `player` to move, deepening to at most max_depth.
+// Stops early once the root value is proven.  Outputs: best root move,
+// node-relative score (mate scale +-(30000 - plies)), proven flag, the
+// depth at which the final score was obtained.  Returns nodes searched.
+long gob_solve(const int8_t* board, int player, int max_depth,
+               int32_t* out_move, int32_t* out_score, int32_t* out_proven,
+               int32_t* out_depth) {
+  SearchCtx ctx{};
+  ctx.exact = true;
+  ctx.salt = 0;
+  for (auto& k : ctx.killers) k[0] = k[1] = -1;
+  int8_t b[27];
+  std::memcpy(b, board, 27);
+  const uint64_t mask = legal_mask_impl(b, player);
+  if (out_move) *out_move = -1;
+  if (out_score) *out_score = 0;
+  if (out_proven) *out_proven = 0;
+  if (out_depth) *out_depth = 0;
+  if (mask == 0 || winner_impl(b) != 0) return 0;
+
+  int best_move = __builtin_ctzll(mask);
+  int best_score = 0;
+  int reached = 0;
+  for (int d = 1; d <= max_depth; ++d) {
+    int alpha = -kWin - 1;
+    int move = best_move;
+    for (int idx = -1; idx < kActions; ++idx) {
+      const int a = idx < 0 ? best_move : kOrder.order[idx];
+      if (!((mask >> a) & 1)) continue;
+      if (idx >= 0 && a == best_move) continue;
+      int8_t child[27];
+      std::memcpy(child, b, 27);
+      apply_impl(child, player, a);
+      const int s = -negamax(child, 1 - player, d - 1, -kWin - 1, -alpha, 1,
+                             &ctx);
+      if (s > alpha) {
+        alpha = s;
+        move = a;
+      }
+    }
+    best_move = move;
+    best_score = alpha;
+    reached = d;
+    if (alpha > kWinThreshold || alpha < -kWinThreshold) break;
+  }
+  if (out_move) *out_move = best_move;
+  if (out_score) *out_score = best_score;
+  if (out_proven) *out_proven =
+      (best_score > kWinThreshold || best_score < -kWinThreshold) ? 1 : 0;
+  if (out_depth) *out_depth = reached;
+  return ctx.nodes;
+}
+
+// Free the solver TT (it is 256 MiB once touched; tests release it).
+void gob_solve_tt_clear() {
+  delete[] tt_solve_table;
+  tt_solve_table = nullptr;
+}
+
+// Perfect-play move: the exact solver's choice at `depth`.  In a proven-won
+// position this converts the win; `salt` breaks ties only among moves that
+// preserve the proven score (diversity without giving anything away).
+// Unproven positions fall back to the deterministic solver move.
+int gob_solve_action(const int8_t* board, int player, int depth,
+                     uint64_t salt) {
+  SearchCtx ctx{};
+  ctx.exact = true;
+  ctx.salt = 0;
+  for (auto& k : ctx.killers) k[0] = k[1] = -1;
+  int8_t b[27];
+  std::memcpy(b, board, 27);
+  const uint64_t mask = legal_mask_impl(b, player);
+  if (mask == 0) return -1;
+
+  // Pass 1: alpha-raising root search (iterative deepening for ordering).
+  int best_move = __builtin_ctzll(mask);
+  int best = -kWin - 1;
+  int proof_d = depth;
+  for (int d = 1; d <= depth; ++d) {
+    int alpha = -kWin - 1;
+    int move = best_move;
+    for (int idx = -1; idx < kActions; ++idx) {
+      const int a = idx < 0 ? best_move : kOrder.order[idx];
+      if (!((mask >> a) & 1)) continue;
+      if (idx >= 0 && a == best_move) continue;
+      int8_t child[27];
+      std::memcpy(child, b, 27);
+      apply_impl(child, player, a);
+      const int s = -negamax(child, 1 - player, d - 1, -kWin - 1, -alpha, 1,
+                             &ctx);
+      if (s > alpha) {
+        alpha = s;
+        move = a;
+      }
+    }
+    best_move = move;
+    best = alpha;
+    proof_d = d;
+    if (best > kWinThreshold || best < -kWinThreshold) break;
+  }
+  if (best <= kWinThreshold) return best_move;  // deterministic best defense
+
+  // Proven win: pass 2 collects every equally-fast mate with cheap
+  // null-window probes (fail-soft: result >= best proves score == best,
+  // since pass 1 established best as the maximum).
+  uint64_t wins = 1ULL << best_move;
+  for (int a = 0; a < kActions; ++a) {
+    if (!((mask >> a) & 1) || a == best_move) continue;
+    int8_t child[27];
+    std::memcpy(child, b, 27);
+    apply_impl(child, player, a);
+    const int s = -negamax(child, 1 - player, proof_d - 1, -best, -(best - 1),
+                           1, &ctx);
+    if (s >= best) wins |= 1ULL << a;
+  }
+  uint64_t rng = splitmix64(salt | 1);
+  return random_from_mask(wins, &rng);
+}
+
 // Batched alpha-beta over n independent positions (jax.pure_callback entry;
 // boards row-major int8[n,27] level-major, players int32[n]).
 void gob_alphabeta_batch(const int8_t* boards, const int32_t* players, int n,
@@ -470,8 +669,19 @@ void gob_alphabeta_batch(const int8_t* boards, const int32_t* players, int n,
   }
 }
 
+// Batched exact-solver moves (the ground-truth oracle as a batch policy;
+// per-lane salt varies tie-breaking among equally-fast proven wins only).
+void gob_solve_batch(const int8_t* boards, const int32_t* players, int n,
+                     int depth, uint64_t seed, int32_t* out_actions) {
+  for (int i = 0; i < n; ++i) {
+    out_actions[i] = gob_solve_action(boards + 27 * i, players[i], depth,
+                                      seed + 0x9E37 * (i + 1));
+  }
+}
+
 // Native match driver over scripted agents.
-// kind: 0 = random-admissible, 1 = greedy(depth), 2 = alphabeta(depth).
+// kind: 0 = random-admissible, 1 = greedy(depth), 2 = alphabeta(depth),
+// 3 = exact solver (gob_solve_action, depth = proof horizon).
 // Returns wins for player 0; winners (size num_games) records +-1 / 0.
 int gob_play_match2(int num_games, int kind0, int depth0, int kind1,
                     int depth1, uint64_t seed, int max_plies,
@@ -486,7 +696,10 @@ int gob_play_match2(int num_games, int kind0, int depth0, int kind1,
       const int kind = player == 0 ? kind0 : kind1;
       const int depth = player == 0 ? depth0 : depth1;
       int a;
-      if (kind == 2) {
+      if (kind == 3) {
+        a = gob_solve_action(b, player, depth,
+                             seed + 0x51ED * (g + 1) + player);
+      } else if (kind == 2) {
         a = alphabeta_action_impl(b, player, depth,
                                   seed + 0x51ED * (g + 1) + player);
       } else if (kind == 1) {

@@ -66,6 +66,37 @@ def alphabeta_policy(depth: int = 6) -> PolicyFn:
     return fn
 
 
+def solver_policy(depth: int = 15) -> PolicyFn:
+    """Ground-truth perfect play from the native exact solver
+    (csrc/gobblet.cpp gob_solve_action).  The opening is a PROVEN
+    first-player win in 13 plies (docs/RESULTS.md), so at depth >= 13 this
+    policy converts every won position it is handed; per-lane salt varies
+    only the choice among equally-fast proven wins.  Host-loop contract
+    matches :func:`alphabeta_policy`."""
+    from gobblet_rl_tpu.native import engine
+
+    engine.load()
+
+    def host(board_lm, current, salt):
+        boards = np.asarray(board_lm, np.int8).transpose(2, 0, 1)
+        return engine.solve_batch(
+            boards, np.asarray(current), depth, int(salt)
+        )
+
+    def fn(key, board, current):
+        salt = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
+        if not isinstance(board, jax.core.Tracer):
+            return jnp.asarray(host(board, current, int(salt)), jnp.int32)
+        return jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct(current.shape, jnp.int32),
+            board, current, salt,
+        )
+
+    fn.uses_host_callback = True  # play_match auto-selects its host loop
+    return fn
+
+
 def dqn_policy(net, params, eps: float = 0.0) -> PolicyFn:
     """Masked (eps-)greedy Q policy from trained params."""
     from gobblet_rl_tpu.models.mlp import masked_argmax

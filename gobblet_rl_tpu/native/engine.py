@@ -68,6 +68,20 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int, i8p,
     ]
+    lib.gob_solve.restype = ctypes.c_long
+    lib.gob_solve.argtypes = [
+        i8p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gob_solve_tt_clear.argtypes = []
+    lib.gob_solve_action.restype = ctypes.c_int
+    lib.gob_solve_action.argtypes = [
+        i8p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64
+    ]
+    lib.gob_solve_batch.argtypes = [
+        i8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, i32p
+    ]
     _lib = lib
     return lib
 
@@ -149,6 +163,54 @@ class NativeEngine:
             max_plies, winners
         )
         return int(wins0), winners
+
+
+def solve(board: np.ndarray | None = None, player: int = 0,
+          max_depth: int = 30) -> dict:
+    """Exact-solve a position (default: the opening) with the native
+    ground-truth solver.  Returns ``{move, score, proven, mate_in, depth,
+    nodes}``; ``proven`` means the score is a forced win/loss within the
+    horizon (mate scale |score| = 30000 - plies-to-mate)."""
+    lib = load()
+    if board is None:
+        board = np.zeros(27, np.int8)
+    board = np.ascontiguousarray(board, np.int8)
+    move = ctypes.c_int32()
+    score = ctypes.c_int32()
+    proven = ctypes.c_int32()
+    depth = ctypes.c_int32()
+    nodes = lib.gob_solve(board, player, max_depth, ctypes.byref(move),
+                          ctypes.byref(score), ctypes.byref(proven),
+                          ctypes.byref(depth))
+    s = int(score.value)
+    return {
+        "move": int(move.value),
+        "score": s,
+        "proven": bool(proven.value),
+        "mate_in": (30000 - abs(s)) if abs(s) > 29000 else None,
+        "depth": int(depth.value),
+        "nodes": int(nodes),
+    }
+
+
+def solve_tt_clear() -> None:
+    """Release the solver's 256 MiB transposition table."""
+    if _lib is not None:
+        _lib.gob_solve_tt_clear()
+
+
+def solve_batch(boards: np.ndarray, players: np.ndarray,
+                depth: int = 20, seed: int = 1) -> np.ndarray:
+    """Exact-solver moves for a batch of positions (the oracle as a policy;
+    shape contract matches :func:`alphabeta_batch`)."""
+    lib = load()
+    boards = np.ascontiguousarray(boards, np.int8).reshape(-1, 27)
+    players = np.ascontiguousarray(players, np.int32)
+    out = np.zeros(boards.shape[0], np.int32)
+    lib.gob_solve_batch(
+        boards, players, boards.shape[0], depth, int(seed) & (2**64 - 1), out
+    )
+    return out
 
 
 def alphabeta_batch(boards: np.ndarray, players: np.ndarray,

@@ -7,10 +7,18 @@ with Ray rollout workers (/root/reference/gobblet_rl/examples/example_RLlib.py:3
 
 * two parameter sets (player_1 / player_2, ``policy_mapping_fn`` equivalent)
   or one shared set (``shared_policy=True``);
-* alternating optimization: each iteration trains one side's params on the
-  learner-centric MDP while the other side acts frozen inside the jitted
-  collector (the roles swap every iteration) — this reuses the fused
-  collect machinery and keeps the whole update on device;
+* learner-centric MDP: each env advances learner-ply + opponent-reply inside
+  the jitted collector; the learner seat per env is pinned (0/1) or
+  alternating even/odd (``learner_player="both"``) so one net trains as
+  either color — the seat-agnostic upgrade proven on DQN
+  (train/dqn.py, learner_player="both");
+* pluggable frozen opponents: "self" (snapshot of own params), "random",
+  "greedy" (batched depth-1/2 lookahead), "pool" (league of past
+  snapshots) and "mixed" (per-iteration draw over random/greedy/pool).
+  Plain self-play *cycles* — measured in round 2: a 200-iteration
+  shared-policy run scored WORSE vs greedy-2 than a 40-iteration one
+  (0.059 vs 0.027... both far under the 0.6 bar); the opponent pool breaks
+  the cycle the same way DQN's ``opponent="mixed"`` does;
 * GAE(lambda) over the learner's own timeline (terminal-only +-1 rewards),
   clipped surrogate + value loss + masked-entropy bonus.
 """
@@ -28,7 +36,8 @@ import optax
 
 from gobblet_rl_tpu.models import actor_critic as ac
 from gobblet_rl_tpu.ops import batched_core as bc
-from gobblet_rl_tpu.train.dqn import _obs_bf, _sel
+from gobblet_rl_tpu.policies import greedy_jax
+from gobblet_rl_tpu.train.dqn import _obs_bf, _seat_reward, _sel, seat_array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +58,22 @@ class PPOConfig:
     shared_policy: bool = False
     model: str = "mlp"   # "mlp" | "conv"
     max_grad_norm: float = 0.5
+    # seat(s) the learner occupies per env in shared-policy mode: 0, 1, or
+    # "both" (alternating even/odd envs).  Non-shared mode alternates the
+    # trained side per iteration regardless (the RLlib policy-mapping
+    # equivalent).
+    learner_player: int | str = 0
+    # frozen opponent inside the jitted collector (shared-policy mode):
+    #   "self"   — snapshot of the learner's own params (classic self-play)
+    #   "random" — uniform over legal moves
+    #   "greedy" — batched depth-``greedy_depth`` lookahead
+    #   "pool"   — uniform draw from a league of past snapshots
+    #   "mixed"  — per-iteration draw over (random, greedy, pool)
+    opponent: str = "self"
+    greedy_depth: int = 2
+    pool_size: int = 8        # snapshots kept by the league
+    pool_every: int = 4       # iterations between snapshot pushes
+    mixed_weights: tuple = (0.25, 0.25, 0.5)   # P(random, greedy, pool)
 
 
 class PPOState(NamedTuple):
@@ -63,30 +88,64 @@ def make_net(config: PPOConfig):
     return ac.MLPActorCritic(hidden_sizes=tuple(config.hidden_sizes))
 
 
-def _opponent_step(net, opp_params, state, key):
-    """Opponent ply with its frozen actor (greedy sample)."""
-    obs = _obs_bf(state.board, state.current)
-    mask = bc.legal_mask_planes(state.board, state.current).T
-    logits, _ = net.apply(opp_params, obs)
-    action, _ = ac.sample_masked(key, logits, mask)
-    return bc.step_planes(state, action)
+def _resolve_kind(config: PPOConfig, kind: str | None) -> str:
+    """Opponent kind actually compiled into a rollout: ``pool`` and ``mixed``
+    are host-level policies over the compiled (random|greedy|self) variants."""
+    kind = kind if kind is not None else config.opponent
+    return "self" if kind in ("self", "pool", "mixed") else kind
 
 
-def make_learner_rollout(config: PPOConfig, net):
-    """Collect a segment for ``learner_player`` with the opponent frozen."""
+def make_opponent_fn(config: PPOConfig, net, kind: str | None = None):
+    """(key, board, current, opp_params) -> int32[B] opponent actions."""
+    kind = _resolve_kind(config, kind)
+    if kind == "random":
+
+        def fn(key, board, current, opp_params):
+            return bc.sample_random_lm(key, bc.legal_mask_planes(board, current))
+
+    elif kind == "greedy":
+
+        def fn(key, board, current, opp_params):
+            return greedy_jax.greedy_actions(key, board, current, config.greedy_depth)
+
+    elif kind == "self":
+
+        def fn(key, board, current, opp_params):
+            obs = _obs_bf(board, current)
+            mask = bc.legal_mask_planes(board, current).T
+            logits, _ = net.apply(opp_params, obs)
+            action, _ = ac.sample_masked(key, logits, mask)
+            return action
+
+    else:
+        raise ValueError(f"unknown opponent {kind!r}")
+    return fn
+
+
+def make_learner_rollout(config: PPOConfig, net, opponent_fn=None):
+    """Collect a segment for the learner seat(s) with the opponent frozen.
+
+    ``lp`` (0 | 1 | "both") is the learner seat spec and must be static."""
+    if opponent_fn is None:
+        opponent_fn = make_opponent_fn(config, net)
 
     def learner_step(state, actions, key, opp_params, lp):
+        seat = seat_array(lp, state.current.shape[0])
         s1 = bc.step_planes(state, actions)
-        r = s1.rewards[lp]
+        r = _seat_reward(s1.rewards, seat)
         k1, k2 = jax.random.split(key)
-        s2 = _opponent_step(net, opp_params, s1, k1)
-        r = r + s2.rewards[lp]
+        a_opp = opponent_fn(k1, s1.board, s1.current, opp_params)
+        s2 = bc.step_planes(s1, a_opp)  # frozen no-op where s1.done
+        r = r + _seat_reward(s2.rewards, seat)
         done = s2.done
         s3 = bc.autoreset_planes(s2)
-        # if the learner is player 1, the (frozen) opponent opens fresh games
-        need = s3.current != lp
-        s4 = _opponent_step(net, opp_params, s3, k2)
-        s3 = jax.tree.map(partial(_sel, need), s4, s3)
+        if lp != 0:
+            # after a reset, player 0 opens; envs whose learner seat is 1
+            # need the (frozen) opponent to move first
+            need = s3.current != seat
+            a0 = opponent_fn(k2, s3.board, s3.current, opp_params)
+            s4 = bc.step_planes(s3, a0)
+            s3 = jax.tree.map(partial(_sel, need), s4, s3)
         return s3, r, done
 
     def rollout(params, opp_params, env_state, key, lp):
@@ -97,7 +156,9 @@ def make_learner_rollout(config: PPOConfig, net):
             mask = bc.legal_mask_planes(env_state.board, env_state.current).T
             logits, value = net.apply(params, obs)
             action, logp = ac.sample_masked(k_act, logits, mask)
-            new_state, r, done = learner_step(env_state, action, k_step, opp_params, lp)
+            new_state, r, done = learner_step(
+                env_state, action, k_step, opp_params, lp
+            )
             out = dict(obs=obs, mask=mask.astype(bool), action=action,
                        logp=logp, value=value, reward=r, done=done)
             return (new_state, key), out
@@ -134,8 +195,11 @@ def compute_gae(traj, last_value, gamma, lam):
     return advantages, returns
 
 
-def make_train_iteration(config: PPOConfig, net, optimizer):
-    rollout = make_learner_rollout(config, net)
+def make_train_iteration(config: PPOConfig, net, optimizer,
+                         opponent_kind: str | None = None):
+    rollout = make_learner_rollout(
+        config, net, make_opponent_fn(config, net, opponent_kind)
+    )
 
     def loss_fn(params, batch):
         logits, value = net.apply(params, batch["obs"])
@@ -205,28 +269,36 @@ def make_train_iteration(config: PPOConfig, net, optimizer):
     return train_iteration
 
 
+def init_env_state(config: PPOConfig, opponent_fn, opp_params, key, lp):
+    """Fresh env batch advanced to the learner seat's turn everywhere."""
+    state = bc.reset_planes(config.num_envs)
+    if lp == 0:
+        return state
+    seat = seat_array(lp, config.num_envs)
+    need = state.current != seat
+    a0 = opponent_fn(key, state.board, state.current, opp_params)
+    stepped = bc.step_planes(state, a0)
+    return jax.tree.map(partial(_sel, need), stepped, state)
+
+
 def init_ppo(config: PPOConfig, key):
     net = make_net(config)
     optimizer = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.lr),
     )
-    k0, k1 = jax.random.split(key)
+    k0, k1, k_env = jax.random.split(key, 3)
     dummy = jnp.zeros((1, 117), jnp.int8)
     p0 = net.init(k0, dummy)
     p1 = p0 if config.shared_policy else net.init(k1, dummy)
     opt0 = optimizer.init(p0)
     opt1 = optimizer.init(p1)
 
-    # role-specific env states: index r trains player r
-    env0 = bc.reset_planes(config.num_envs)
-    env1 = bc.reset_planes(config.num_envs)
-    # for role 1, the frozen opponent (player 0) must open
-    obs = _obs_bf(env1.board, env1.current)
-    mask = bc.legal_mask_planes(env1.board, env1.current).T
-    logits, _ = net.apply(p0, obs)
-    a, _ = ac.sample_masked(jax.random.PRNGKey(config.seed), logits, mask)
-    env1 = bc.step_planes(env1, a)
+    opponent_fn = make_opponent_fn(config, net)
+    # role-specific env states: index r is kept at role r's turn
+    lp0 = config.learner_player if config.shared_policy else 0
+    env0 = init_env_state(config, opponent_fn, p1, k_env, lp0)
+    env1 = init_env_state(config, opponent_fn, p0, k_env, 1)
 
     return net, optimizer, PPOState(
         params=(p0, p1), opt_states=(opt0, opt1), env_states=(env0, env1)
@@ -234,29 +306,73 @@ def init_ppo(config: PPOConfig, key):
 
 
 def train(config: PPOConfig = PPOConfig(), logger=None):
-    """Alternating self-play PPO; returns (PPOState, history)."""
+    """PPO training; returns (PPOState, history).
+
+    ``shared_policy=False`` (reference-equivalent): two parameter sets
+    alternate learner/frozen roles each iteration, pure self-play.
+
+    ``shared_policy=True``: one parameter set trains on the seat(s) given by
+    ``learner_player`` against the configured ``opponent``; ``pool`` / the
+    pool leg of ``mixed`` sample a frozen past snapshot per iteration.
+    """
     key = jax.random.PRNGKey(config.seed)
     net, optimizer, st = init_ppo(config, key)
-    it = make_train_iteration(config, net, optimizer)
+
+    rng = np.random.default_rng(config.seed)
+    if config.shared_policy:
+        kinds = (("random", "greedy", "self") if config.opponent == "mixed"
+                 else (_resolve_kind(config, None),))
+        its = {k: make_train_iteration(config, net, optimizer, k) for k in kinds}
+        pool = [st.params[0]]  # league seed: the untrained net
+    else:
+        if config.opponent != "self":
+            raise ValueError(
+                "non-shared (alternating two-policy) mode is pure self-play; "
+                "set shared_policy=True to use opponent="
+                f"{config.opponent!r}")
+        its = {"self": make_train_iteration(config, net, optimizer, "self")}
+        pool = []
 
     history = []
     for i in range(config.iterations):
-        lp = i % 2 if not config.shared_policy else 0
-        opp = 1 - lp
         params = list(st.params)
         opts = list(st.opt_states)
         envs = list(st.env_states)
         key, sub = jax.random.split(key)
-        opp_params = params[opp] if not config.shared_policy else params[0]
-        params[lp], opts[lp], envs[lp], key, stats = it(
-            params[lp], opp_params, opts[lp], envs[lp], sub, lp
+
+        if config.shared_policy:
+            lp, role = config.learner_player, 0
+            if config.opponent == "mixed":
+                kind = rng.choice(["random", "greedy", "pool"],
+                                  p=list(config.mixed_weights))
+            else:
+                kind = config.opponent
+            if kind == "pool":
+                opp_params = pool[int(rng.integers(len(pool)))]
+                kind = "self"
+            elif kind == "self":
+                opp_params = params[0]
+            else:
+                opp_params = params[0]  # unused by random/greedy variants
+        else:
+            lp = role = i % 2
+            kind = "self"
+            opp_params = params[1 - role]
+
+        params[role], opts[role], envs[role], key, stats = its[kind](
+            params[role], opp_params, opts[role], envs[role], sub, lp
         )
         if config.shared_policy:
             params[1] = params[0]
+            if config.opponent in ("pool", "mixed") and (i + 1) % config.pool_every == 0:
+                pool.append(params[0])
+                if len(pool) > config.pool_size:
+                    pool.pop(0)
         st = PPOState(tuple(params), tuple(opts), tuple(envs))
         record = {
             "iteration": i,
             "learner": lp,
+            "opponent": kind if config.shared_policy else "self",
             "loss": float(stats["loss"]),
             "episodes": int(stats["episodes"]),
             "mean_reward": float(stats["mean_reward"]),

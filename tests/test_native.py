@@ -134,6 +134,114 @@ def test_alphabeta_beats_greedy2_native_match():
     assert ab_wins / decided > 0.8, (ab_wins, decided)
 
 
+# ---------------------------------------------------------------------------
+# Exact solver (ground-truth oracle)
+# ---------------------------------------------------------------------------
+
+
+def _sign(player):
+    return 1 if player == 0 else -1
+
+
+def _win_within(board, player, d):
+    """Pure-Python reference: player to move forces a win within d plies."""
+    if d <= 0:
+        return False
+    for a in np.nonzero(rules_np.legal_mask(board, player))[0]:
+        child = rules_np.apply_action(board, player, int(a))
+        w = rules_np.line_winner(child)
+        if w == _sign(player):
+            return True
+        if w == -_sign(player):
+            continue  # self-uncovering loss: not a winning line
+        if _lose_within(child, 1 - player, d - 1):
+            return True
+    return False
+
+
+def _lose_within(board, player, d):
+    """Every move of `player` ends with them losing within d plies."""
+    if d <= 0:
+        return False
+    for a in np.nonzero(rules_np.legal_mask(board, player))[0]:
+        child = rules_np.apply_action(board, player, int(a))
+        w = rules_np.line_winner(child)
+        if w == _sign(player):
+            return False
+        if w == -_sign(player):
+            continue  # this option loses immediately; others may not
+        if d <= 1 or not _win_within(child, 1 - player, d - 1):
+            return False
+    return True
+
+
+def test_solver_agrees_with_python_bruteforce_depth3():
+    """Independent-implementation check of the solver's minimax core:
+    proven win/loss classification at depth 3 must match an exhaustive
+    pure-Python search over the NumPy rules twin."""
+    rng = np.random.default_rng(37)
+    for trial in range(8):
+        eng, player = _random_midgame(rng, plies=int(rng.integers(4, 12)))
+        board = eng.board.reshape(3, 9).copy()
+        r = native.solve(eng.board, player, max_depth=3)
+        py_win = _win_within(board, player, 3)
+        py_lose = _lose_within(board, player, 3)
+        assert (r["proven"] and r["score"] > 0) == py_win, (trial, r)
+        assert (r["proven"] and r["score"] < 0) == py_lose, (trial, r)
+        if r["proven"]:
+            assert r["mate_in"] <= 3
+
+
+def test_solver_mate_in_one():
+    eng = native.NativeEngine()
+    eng.reset()
+    # white builds two-in-a-row with the big pieces; black dawdles in a corner
+    eng.apply(0, 36 + 0)   # white big (piece 5) at cell 0
+    eng.apply(1, 45 + 8)   # black big (piece 6) at cell 8
+    eng.apply(0, 45 + 1)   # white's other big (piece 6) at cell 1
+    eng.apply(1, 27 + 7)   # black medium (piece 4) at cell 7
+    # white: bigs on 0 and 1 of line {0,1,2}; cell 2 is empty -> mate in 1
+    r = native.solve(eng.board, player=0, max_depth=4)
+    assert r["proven"] and r["score"] > 0 and r["mate_in"] == 1, r
+    # the returned move must actually win
+    nxt = native.NativeEngine()
+    nxt.board[:] = eng.board
+    nxt.apply(0, r["move"])
+    assert nxt.winner() == 1
+
+
+@pytest.mark.slow
+def test_opening_is_proven_first_player_win_in_13():
+    """Ground truth: 3x3 Gobblet under the reference's rules is a forced
+    first-player win in 13 plies (exact solve, docs/RESULTS.md)."""
+    r = native.solve(max_depth=13)
+    assert r["proven"] and r["score"] > 0, r
+    assert r["mate_in"] == 13, r
+    native.solve_tt_clear()
+
+
+@pytest.mark.slow
+def test_solver_converts_won_opening_vs_alphabeta_defense():
+    """Perfect play converts the proven win against a strong defense, always
+    within the proven 13-ply horizon."""
+    lib = native.load()
+    for g in range(8):
+        b = np.zeros(27, np.int8)
+        player, w, plies = 0, 0, 0
+        for _ in range(20):
+            if player == 0:
+                a = int(lib.gob_solve_action(b, 0, 15, 1000 + g))
+            else:
+                a = int(lib.gob_alphabeta_action(b, 1, 6, 2000 + g))
+            lib.gob_apply(b, player, a)
+            plies += 1
+            w = int(lib.gob_winner(b))
+            if w != 0:
+                break
+            player = 1 - player
+        assert w == 1 and plies <= 13, (g, w, plies)
+
+
 def test_alphabeta_tournament_policy_beats_random():
     import jax
 

@@ -59,6 +59,25 @@ def test_conv_model_forward():
     assert logits.shape == (4, 54) and value.shape == (4,)
 
 
+def test_ppo_mixed_opponent_pool_smoke():
+    """League machinery: mixed random/greedy/pool opponents, seat-agnostic."""
+    config = ppo.PPOConfig(num_envs=32, segment_len=8, iterations=6,
+                           minibatches=2, epochs_per_iter=1,
+                           shared_policy=True, opponent="mixed",
+                           learner_player="both", pool_every=2, pool_size=2)
+    st, history = ppo.train(config)
+    assert len(history) == 6
+    assert {h["opponent"] for h in history} <= {"random", "greedy", "self"}
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert all(h["learner"] == "both" for h in history)
+
+
+def test_ppo_nonshared_rejects_external_opponent():
+    with pytest.raises(ValueError):
+        ppo.train(ppo.PPOConfig(iterations=1, opponent="greedy",
+                                shared_policy=False))
+
+
 @pytest.mark.slow
 def test_ppo_improves_vs_random():
     """After shared-policy self-play, the policy should beat a random player."""

@@ -134,3 +134,23 @@ def test_tournament_cli_zoo_entry():
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert set(res["standings"]) == {"random", "dqn_greedy"}
+
+
+@pytest.mark.slow
+def test_alphazero_converts_won_opening_vs_oracle():
+    """Ground-truth strength: the opening is a PROVEN first-player win in 13
+    plies (tests/test_native.py); the committed AlphaZero agent must convert
+    it against the exact solver's best defense (measured 32/32 in round 3,
+    scripts/exploitability.py)."""
+    if "alphazero_gumbel32" not in _committed_names():
+        pytest.skip("alphazero_gumbel32 not committed yet")
+    from gobblet_rl_tpu import zoo
+    from gobblet_rl_tpu.eval import tournament
+
+    res = tournament.play_match(
+        zoo.policy("alphazero_gumbel32"),
+        tournament.solver_policy(depth=15),
+        num_games=16, seed=0, swap_colors=False, max_plies=60,
+    )
+    assert res["losses"] == 0, res
+    assert res["win_rate"] >= 0.9, res
