@@ -57,6 +57,13 @@ BATCH = int(os.environ.get("GOBBLET_BENCH_BATCH", str(524288)))
 STEPS = int(os.environ.get("GOBBLET_BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("GOBBLET_BENCH_REPEATS", "5"))
 TRAIN_ENVS = int(os.environ.get("GOBBLET_BENCH_TRAIN_ENVS", str(16384)))
+# AZ search is ~num_sims x heavier per env-step than DQN/PPO; scale its env
+# count (and the CPU smoke test's) independently of TRAIN_ENVS.
+AZ_ENVS = int(os.environ.get("GOBBLET_BENCH_AZ_ENVS", "512"))
+AZ_SIMS = int(os.environ.get("GOBBLET_BENCH_AZ_SIMS", "32"))
+AZ_SEGMENT = int(os.environ.get("GOBBLET_BENCH_AZ_SEGMENT", "48"))
+PPO_ENVS = int(os.environ.get("GOBBLET_BENCH_PPO_ENVS", "2048"))
+PPO_SEGMENT = int(os.environ.get("GOBBLET_BENCH_PPO_SEGMENT", "32"))
 
 
 def log(msg: str) -> None:
@@ -211,8 +218,9 @@ def bench_az_train() -> dict:
     from gobblet_rl_tpu.train import alphazero
 
     config = alphazero.AZConfig(
-        search="gumbel", num_sims=32, num_envs=512, segment_len=48,
-        model="conv",
+        search="gumbel", num_sims=AZ_SIMS, num_envs=AZ_ENVS,
+        segment_len=AZ_SEGMENT, model="conv",
+        batch_size=min(2048, AZ_ENVS * AZ_SEGMENT),
     )
     key = jax.random.PRNGKey(0)
     net, optimizer, st = alphazero.init_alphazero(config, key)
@@ -257,7 +265,7 @@ def bench_ppo_train() -> dict:
     from gobblet_rl_tpu.train import ppo
 
     config = ppo.PPOConfig(
-        num_envs=2048, segment_len=32, shared_policy=True,
+        num_envs=PPO_ENVS, segment_len=PPO_SEGMENT, shared_policy=True,
         learner_player="both", opponent="self",
     )
     key = jax.random.PRNGKey(0)

@@ -22,6 +22,10 @@ YELLOW_RIM = (158, 126, 9)
 # reference's 4/13, 6/13, 9/13 sprite scales, gobblet.py:446-448)
 _SCALE = {0: 4 / 13, 1: 6 / 13, 2: 9 / 13}
 
+# hover previews are semi-transparent, like the reference's preview sprites
+# (/root/reference/gobblet_rl/game/utils.py:43-59, game/img/preview/*.png)
+PREVIEW_ALPHA = 128
+
 
 def _cell_center(cell: int, width: int) -> tuple[int, int]:
     """Pixel center of display cell 0-8 (column-major like the reference:
@@ -56,14 +60,20 @@ def draw_board(screen, squares, squares_preview, width: int) -> None:
             pygame.draw.circle(screen, rim, center, radius, max(2, radius // 8))
 
     preview = np.asarray(squares_preview).reshape(3, 9)
-    for level in range(3):
-        radius = int(tile * _SCALE[level] / 2)
-        for cell in range(9):
-            mark = preview[level, cell]
-            if mark == 0:
-                continue
-            color = RED if mark > 0 else YELLOW
-            pygame.draw.circle(screen, color, _cell_center(cell, width), radius, 3)
+    if (preview != 0).any():
+        # translucent chip ghost + solid outline, composited in one blit
+        overlay = pygame.Surface((width, width), pygame.SRCALPHA)
+        for level in range(3):
+            radius = int(tile * _SCALE[level] / 2)
+            for cell in range(9):
+                mark = preview[level, cell]
+                if mark == 0:
+                    continue
+                color = RED if mark > 0 else YELLOW
+                center = _cell_center(cell, width)
+                pygame.draw.circle(overlay, (*color, PREVIEW_ALPHA), center, radius)
+                pygame.draw.circle(overlay, (*color, 255), center, radius, 3)
+        screen.blit(overlay, (0, 0))
 
 
 def surface_to_rgb_array(screen) -> np.ndarray:

@@ -163,12 +163,17 @@ def test_bench_cli_json_contract():
     parses the tail); auxiliary metrics come before it."""
     r = run_example(
         ["bench.py"],
-        timeout=300,
+        timeout=480,
         extra_env={
             "GOBBLET_BENCH_BATCH": "512",
             "GOBBLET_BENCH_STEPS": "8",
             "GOBBLET_BENCH_REPEATS": "2",
             "GOBBLET_BENCH_TRAIN_ENVS": "64",
+            "GOBBLET_BENCH_AZ_ENVS": "16",
+            "GOBBLET_BENCH_AZ_SIMS": "4",
+            "GOBBLET_BENCH_AZ_SEGMENT": "8",
+            "GOBBLET_BENCH_PPO_ENVS": "64",
+            "GOBBLET_BENCH_PPO_SEGMENT": "8",
         },
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -176,8 +181,17 @@ def test_bench_cli_json_contract():
     assert lines[-1]["metric"] == "env_steps_per_sec"
     assert set(lines[-1]) == {"metric", "value", "unit", "vs_baseline"}
     assert lines[-1]["value"] > 0
-    train = [rec for rec in lines if rec["metric"] == "dqn_train_env_steps_per_sec"]
-    assert len(train) == 1 and train[0]["iterations_per_sec"] > 0
+    for fam in ("dqn", "az", "ppo"):
+        train = [
+            rec for rec in lines
+            if rec["metric"] == f"{fam}_train_env_steps_per_sec"
+        ]
+        assert len(train) == 1 and train[0]["iterations_per_sec"] > 0, fam
+        # roofline accounting present whenever the backend exposes the XLA
+        # cost model (CPU does; the axon remote backend may not)
+        if "mfu" in train[0]:
+            assert train[0]["mfu"] >= 0
+            assert train[0]["xla_flops_per_iter"] > 0
 
 
 def test_bench_scaling_cli():

@@ -86,3 +86,85 @@ def test_deep_positions_sampled_parity():
         boards.append(b)
     _check_batch(boards, player=0)
     _check_batch(boards, player=1)
+
+
+def test_depth3_sampled_exhaustive_parity():
+    """Round-3 extension beyond the full depth-2 tree: sample depth-2
+    positions and expand ALL of their depth-3 children, cross-checking the
+    four implementations on every child (player 0 to move next)."""
+    rng = np.random.default_rng(7)
+    depth2 = _enumerate_depth2()
+    sample = [depth2[i] for i in rng.choice(len(depth2), 120, replace=False)]
+    seen = {}
+    for b2 in sample:
+        for a3 in np.nonzero(rules_np.legal_mask(b2, 0))[0]:
+            b3 = rules_np.apply_action(b2, 0, int(a3))
+            seen[b3.tobytes()] = b3
+    boards = list(seen.values())
+    assert len(boards) > 2000
+    _check_batch(boards, player=1)
+
+
+def test_random_prefix_lockstep_parity():
+    """Any-depth prefix equivalence (property fuzz): play random games to
+    termination stepping all implementations in lockstep with the same
+    action stream — full board, mask, current-player and winner agreement
+    at EVERY ply, not just at sampled snapshots."""
+    rng = np.random.default_rng(11)
+    G = 32
+    np_boards = [rules_np.empty_board() for _ in range(G)]
+    players = np.zeros(G, np.int32)
+    finished = np.zeros(G, bool)
+    state = bc.reset_planes(G)
+    step_lm = jax.jit(bc.step_planes)
+    mask_jax = jax.jit(rules.batched_legal_mask)
+    engines = [native_engine.NativeEngine() for _ in range(G)] if HAVE_NATIVE else None
+
+    for ply in range(48):
+        if finished.all():
+            break
+        # per-ply mask parity on live games (all four implementations)
+        masks_np = np.stack([rules_np.legal_mask(b, int(p))
+                             for b, p in zip(np_boards, players)])
+        mj = np.asarray(mask_jax(jnp.asarray(np.stack(np_boards)),
+                                 jnp.asarray(players)))
+        ml = np.asarray(jax.jit(bc.legal_mask_planes)(
+            jnp.transpose(jnp.asarray(np.stack(np_boards)), (1, 2, 0)),
+            jnp.asarray(players))).T
+        for g in range(G):
+            if finished[g]:
+                continue
+            np.testing.assert_array_equal(mj[g], masks_np[g])
+            np.testing.assert_array_equal(ml[g], masks_np[g])
+            if engines is not None:
+                np.testing.assert_array_equal(
+                    engines[g].legal_mask(int(players[g])), masks_np[g])
+
+        actions = np.zeros(G, np.int32)
+        for g in range(G):
+            if not finished[g]:
+                actions[g] = int(rng.choice(np.nonzero(masks_np[g])[0]))
+        state = step_lm(state, jnp.asarray(actions))
+        lm_boards = np.asarray(state.board).transpose(2, 0, 1)
+        lm_winner = np.asarray(state.winner)
+        lm_current = np.asarray(state.current)
+
+        for g in range(G):
+            if finished[g]:
+                continue
+            np_boards[g] = rules_np.apply_action(
+                np_boards[g], int(players[g]), int(actions[g]))
+            np.testing.assert_array_equal(lm_boards[g], np_boards[g])
+            w = rules_np.line_winner(np_boards[g])
+            assert int(lm_winner[g]) == w, (ply, g)
+            if engines is not None:
+                engines[g].apply(int(players[g]), int(actions[g]))
+                np.testing.assert_array_equal(
+                    engines[g].board.reshape(3, 9), np_boards[g])
+                assert engines[g].winner() == w
+            if w != 0:
+                finished[g] = True
+            else:
+                players[g] = 1 - players[g]
+                assert int(lm_current[g]) == players[g], (ply, g)
+    assert finished.sum() >= G // 2  # most random games end within 48 plies
