@@ -17,6 +17,20 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--shared-policy", action="store_true",
                         help="one policy for both players (else one per player, "
                         "like the RLlib multiagent policy mapping)")
+    parser.add_argument("--learner-player", type=str, default="0",
+                        choices=["0", "1", "both"],
+                        help="learner seat(s) in shared-policy mode; 'both' "
+                        "alternates even/odd envs (seat-agnostic training)")
+    parser.add_argument("--opponent", type=str, default="self",
+                        choices=["self", "random", "greedy", "pool", "mixed"],
+                        help="frozen in-collector opponent (shared-policy "
+                        "mode); 'mixed' is the league the zoo's ppo_league "
+                        "recipe uses — plain self-play cycles "
+                        "(docs/RESULTS.md)")
+    parser.add_argument("--mixed-weights", type=float, nargs=3,
+                        default=[0.1, 0.7, 0.2],
+                        metavar=("P_RANDOM", "P_GREEDY", "P_POOL"),
+                        help="opponent=mixed: per-iteration draw weights")
     parser.add_argument("--logdir", type=str, default="log")
     return parser
 
@@ -35,6 +49,10 @@ def main(args=None):
         segment_len=args.segment_len,
         model=args.model,
         shared_policy=args.shared_policy,
+        learner_player=(args.learner_player if args.learner_player == "both"
+                        else int(args.learner_player)),
+        opponent=args.opponent,
+        mixed_weights=tuple(args.mixed_weights),
     )
     logger = make_logger(os.path.join(args.logdir, "gobblet_rl_tpu", "ppo"), vars(args))
     st, history = ppo.train(config, logger=logger)

@@ -42,7 +42,7 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--zoo", type=str, nargs="*", default=[],
                         help="add entries from the committed model zoo "
                         "(gobblet_rl_tpu/zoo; e.g. alphazero_gumbel32 "
-                        "dqn_greedy ppo_selfplay)")
+                        "dqn_greedy ppo_league)")
     parser.add_argument("--games", type=int, default=128,
                         help="games per pairing (color-swapped)")
     parser.add_argument("--max-plies", type=int, default=100)

@@ -22,7 +22,7 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--quick", action="store_true",
                    help="tiny recipes for smoke-testing the pipeline")
     p.add_argument("--entries", nargs="*",
-                   default=["alphazero_gumbel32", "dqn_greedy", "ppo_selfplay"])
+                   default=["alphazero_gumbel32", "dqn_greedy", "ppo_league"])
     p.add_argument("--eval-games", type=int, default=256)
     p.add_argument("--seed", type=int, default=1626)
     return p.parse_known_args()[0]
@@ -115,14 +115,16 @@ def make_ppo(args):
     from gobblet_rl_tpu.eval import tournament
     from gobblet_rl_tpu.train import ppo
 
-    # 40 iterations, not more: a 200-iteration run was measured WORSE
-    # (0.895/0.648/0.059 vs random/greedy-1/greedy-2 against 40 iters'
-    # 0.934/0.668/0.027) — plain shared-policy self-play cycles rather than
-    # keeps improving, the same failure mode docs/RESULTS.md records for
-    # generation self-play; DQN's mixed pool is the fix, kept out of PPO to
-    # preserve the reference-equivalent recipe.
+    # Greedy-heavy snapshot league, NOT plain self-play: pure shared-policy
+    # self-play cycles (measured rounds 2-3, docs/RESULTS.md — 40 iters
+    # 0.027 vs greedy-2, 200 iters 0.059, never climbing), while the
+    # round-3 sweep measured opponent='mixed' (0.1 random / 0.7 greedy /
+    # 0.2 past-snapshot pool) at 0.844 vs greedy-2 after 800 iterations
+    # (~12 min TPU) vs 0.805 for a pure-greedy opponent at the same budget.
     config = ppo.PPOConfig(
-        shared_policy=True, iterations=4 if args.quick else 40,
+        shared_policy=True, learner_player="both", opponent="mixed",
+        mixed_weights=(0.1, 0.7, 0.2),
+        iterations=8 if args.quick else 800,
         num_envs=64 if args.quick else 512, seed=args.seed,
     )
     t0 = time.time()
@@ -133,10 +135,12 @@ def make_ppo(args):
     metrics = measure(tournament.ppo_policy(net, st.params[0]),
                       args.eval_games, args.seed)
     metrics["train_minutes"] = round(mins, 1)
-    zoo.save("ppo_selfplay", st.params[0], {
+    zoo.save("ppo_league", st.params[0], {
         "family": "ppo",
         "net": {"hidden_sizes": list(config.hidden_sizes)},
         "recipe": (f"scripts/make_zoo.py: PPOConfig(shared_policy=True, "
+                   f"learner_player='both', opponent='mixed', "
+                   f"mixed_weights={config.mixed_weights}, "
                    f"iterations={config.iterations}, num_envs={config.num_envs}, "
                    f"seed={args.seed})"),
         "metrics": metrics,
@@ -152,7 +156,7 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
 
     makers = {"alphazero_gumbel32": make_alphazero, "dqn_greedy": make_dqn,
-              "ppo_selfplay": make_ppo}
+              "ppo_league": make_ppo}
     for name in args.entries:
         print(f"=== {name} ===", flush=True)
         makers[name](args)

@@ -23,14 +23,14 @@ def test_make_zoo_quick_pipeline(tmp_path):
     }
     r = subprocess.run(
         [sys.executable, "scripts/make_zoo.py", "--quick", "--eval-games", "8",
-         "--entries", "ppo_selfplay"],
+         "--entries", "ppo_league"],
         cwd=REPO, env=env, timeout=600, capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     manifest = json.loads((tmp_path / "manifest.json").read_text())
-    assert manifest["ppo_selfplay"]["family"] == "ppo"
-    assert "vs_random" in manifest["ppo_selfplay"]["metrics"]
-    assert (tmp_path / "ppo_selfplay.msgpack").stat().st_size > 1000
+    assert manifest["ppo_league"]["family"] == "ppo"
+    assert "vs_random" in manifest["ppo_league"]["metrics"]
+    assert (tmp_path / "ppo_league.msgpack").stat().st_size > 1000
 
     os.environ["GOBBLET_ZOO_DIR"] = str(tmp_path)
     try:
@@ -39,8 +39,8 @@ def test_make_zoo_quick_pipeline(tmp_path):
         from gobblet_rl_tpu import zoo
         from gobblet_rl_tpu.ops import batched_core as bc
 
-        assert zoo.names() == ["ppo_selfplay"]
-        pol = zoo.policy("ppo_selfplay")
+        assert zoo.names() == ["ppo_league"]
+        pol = zoo.policy("ppo_league")
         state = bc.reset_planes(4)
         actions = pol(jax.random.PRNGKey(0), state.board, state.current)
         mask = np.asarray(bc.legal_mask_planes(state.board, state.current))
@@ -56,7 +56,7 @@ def _committed_names():
 
 
 @pytest.mark.parametrize("name", ["alphazero_gumbel32", "dqn_greedy",
-                                  "ppo_selfplay"])
+                                  "ppo_league"])
 def test_committed_entry_plays_legal_moves(name):
     """Every committed zoo entry loads and emits mask-legal actions from a
     batch of fresh boards (and its host_agent works on the AEC obs layout)."""
