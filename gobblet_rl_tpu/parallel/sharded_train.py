@@ -72,6 +72,9 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
     L = local.segment_len + local.n_step - 1
 
     def collect(ts, env_state, key):
+        """Compact collect (see train/dqn.py): obs/mask emitted once per
+        visited state, next-state copies derived by slicing in the fold."""
+
         def body(carry, _):
             env_state, key = carry
             key, k_eps, k_step = jax.random.split(key, 3)
@@ -82,21 +85,26 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
             new_state, r, done = learner_step(
                 env_state, actions, k_step, ts.opponent_params
             )
-            obs_next = dqn_mod._obs_bf(new_state.board, new_state.current)
-            mask_next = bc.legal_mask_planes(new_state.board, new_state.current).T
-            return (new_state, key), replay.Segment(
-                obs, actions, r, done, obs_next, mask_next.astype(bool)
-            )
+            return (new_state, key), (obs, mask.astype(bool), actions, r, done)
 
-        (env_state, key), seg = jax.lax.scan(body, (env_state, key), None, length=L)
-        return env_state, seg, key
+        (env_state, key), (obs, mask, actions, r, done) = jax.lax.scan(
+            body, (env_state, key), None, length=L
+        )
+        obs_last = dqn_mod._obs_bf(env_state.board, env_state.current)
+        mask_last = bc.legal_mask_planes(env_state.board, env_state.current).T
+        cseg = replay.CompactSegment(
+            obs=jnp.concatenate([obs, obs_last[None]]),
+            mask=jnp.concatenate([mask, mask_last.astype(bool)[None]]),
+            action=actions,
+            reward=r,
+            done=done,
+        )
+        return env_state, cseg, key
 
-    def update(ts, buffer, key):
+    def update(ts, batch):
         import optax
 
-        obs, action, reward_n, done_n, obs_n, mask_n = replay.sample(
-            buffer, key, local.batch_size
-        )
+        obs, action, reward_n, done_n, obs_n, mask_n = batch
         q_next = masked_q(net.apply(ts.target_params, obs_n), mask_n)
         if local.double:
             a_star = jnp.argmax(
@@ -138,20 +146,26 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
         # per-device RNG stream
         key = jax.random.fold_in(key, jax.lax.axis_index(ENV_AXIS))
         key, k_collect = jax.random.split(key)
-        env_state, seg, key = collect(ts, env_state, k_collect)
-        folded = replay.nstep_fold(seg, local.n_step, local.gamma)
-        folded = jax.tree.map(lambda x: x[: local.segment_len], folded)
+        env_state, cseg, key = collect(ts, env_state, k_collect)
+        folded = replay.nstep_fold_compact(
+            cseg, local.n_step, local.gamma, local.segment_len
+        )
         buffer = replay.insert_segment(buffer, folded)
 
-        def upd(carry, _):
-            ts, key = carry
-            key, sub = jax.random.split(key)
-            ts, loss = update(ts, buffer, sub)
-            return (ts, key), loss
-
-        (ts, key), losses = jax.lax.scan(
-            upd, (ts, key), None, length=local.update_per_collect
+        # one gather for all minibatches (see train/dqn.py)
+        key, k_sample = jax.random.split(key)
+        U = local.update_per_collect
+        flat_batch = replay.sample(buffer, k_sample, local.batch_size * U)
+        minibatches = jax.tree.map(
+            lambda x: x.reshape((U, local.batch_size) + x.shape[1:]),
+            flat_batch,
         )
+
+        def upd(ts, batch):
+            ts, loss = update(ts, batch)
+            return ts, loss
+
+        ts, losses = jax.lax.scan(upd, ts, minibatches)
         return ts, env_state, buffer, losses.mean()
 
     dummy_state = bc.reset_planes(1)

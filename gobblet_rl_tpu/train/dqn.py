@@ -195,20 +195,26 @@ def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
             new_state, r, done = learner_step(
                 env_state, actions, k_step, ts.opponent_params
             )
-            obs_next = _obs_bf(new_state.board, new_state.current)
-            mask_next = bc.legal_mask_planes(new_state.board, new_state.current).T
-            out = replay.Segment(
-                obs, actions, r, done, obs_next, mask_next.astype(bool)
-            )
-            return (new_state, key), out
+            # next-state features/masks are NOT emitted: they are the next
+            # step's obs/mask (CompactSegment), computed exactly once
+            return (new_state, key), (obs, mask.astype(bool), actions, r, done)
 
-        (env_state, key), seg = jax.lax.scan(body, (env_state, key), None, length=L)
-        return env_state, seg, key
-
-    def update(ts: TrainState, buffer, key):
-        obs, action, reward_n, done_n, obs_n, mask_n = replay.sample(
-            buffer, key, config.batch_size
+        (env_state, key), (obs, mask, actions, r, done) = jax.lax.scan(
+            body, (env_state, key), None, length=L
         )
+        obs_last = _obs_bf(env_state.board, env_state.current)
+        mask_last = bc.legal_mask_planes(env_state.board, env_state.current).T
+        cseg = replay.CompactSegment(
+            obs=jnp.concatenate([obs, obs_last[None]]),
+            mask=jnp.concatenate([mask, mask_last.astype(bool)[None]]),
+            action=actions,
+            reward=r,
+            done=done,
+        )
+        return env_state, cseg, key
+
+    def update(ts: TrainState, batch):
+        obs, action, reward_n, done_n, obs_n, mask_n = batch
         q_next = masked_q(net.apply(ts.target_params, obs_n), mask_n)
         if config.double:
             # double-DQN: online net picks the action, target net rates it
@@ -247,21 +253,29 @@ def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
     @partial(jax.jit, donate_argnums=(2,))
     def train_iteration(ts: TrainState, env_state, buffer, key):
         key, k_collect = jax.random.split(key)
-        env_state, seg, key = collect(ts, env_state, k_collect)
-        folded = replay.nstep_fold(seg, config.n_step, config.gamma)
-        # keep only positions with a full n-step horizon
-        folded = jax.tree.map(lambda x: x[: config.segment_len], folded)
+        env_state, cseg, key = collect(ts, env_state, k_collect)
+        # positions keep a full n-step horizon; the fold is pure slicing
+        folded = replay.nstep_fold_compact(
+            cseg, config.n_step, config.gamma, config.segment_len
+        )
         buffer = replay.insert_segment(buffer, folded)
 
-        def upd(carry, _):
-            ts, key = carry
-            key, sub = jax.random.split(key)
-            ts, loss = update(ts, buffer, sub)
-            return (ts, key), loss
-
-        (ts, key), losses = jax.lax.scan(
-            upd, (ts, key), None, length=config.update_per_collect
+        # one gather for ALL minibatches (the buffer is fixed during the
+        # update phase, so this is distribution-identical to per-update
+        # sampling and replaces U serialized row gathers with one)
+        key, k_sample = jax.random.split(key)
+        U = config.update_per_collect
+        flat_batch = replay.sample(buffer, k_sample, config.batch_size * U)
+        minibatches = jax.tree.map(
+            lambda x: x.reshape((U, config.batch_size) + x.shape[1:]),
+            flat_batch,
         )
+
+        def upd(ts, batch):
+            ts, loss = update(ts, batch)
+            return ts, loss
+
+        ts, losses = jax.lax.scan(upd, ts, minibatches)
         return ts, env_state, buffer, key, losses.mean()
 
     return train_iteration, opponent_fn

@@ -84,26 +84,114 @@ def nstep_fold(seg: Segment, n_step: int, gamma: float) -> Segment:
     return Segment(seg.obs, seg.action, reward_n, done_n, obs_n, mask_n)
 
 
+class CompactSegment(NamedTuple):
+    """Collected rollout without redundant next-state copies: ``obs``/``mask``
+    carry L+1 entries (one per visited state incl. the final one), so
+    ``obs_next[t]`` is just ``obs[t+1]`` — the collector skips recomputing
+    features/legal-masks for the post-step state, and the n-step fold
+    becomes pure slicing instead of shifted int8 concats (measured on v5e:
+    2.8 ms -> ~0 for the fold, plus two fewer feature/mask kernels per
+    collect step)."""
+
+    obs: jnp.ndarray      # int8[L+1, B, 117]
+    mask: jnp.ndarray     # bool[L+1, B, 54]
+    action: jnp.ndarray   # int32[L, B]
+    reward: jnp.ndarray   # float32[L, B]
+    done: jnp.ndarray     # bool[L, B]
+
+
+def nstep_fold_compact(
+    cseg: CompactSegment, n_step: int, gamma: float, segment_len: int
+) -> Segment:
+    """Fold a compact segment into ``segment_len`` n-step transitions.
+
+    Equivalent to ``nstep_fold`` + head-slice for training: ``reward_n`` and
+    ``done_n`` are identical; ``obs_n``/``mask_n`` differ only on rows where
+    ``done_n`` is True (post-reset state instead of the frozen terminal
+    state) — rows whose bootstrap the TD target multiplies by zero.
+    Requires ``cseg`` length L = segment_len + n_step - 1."""
+    S = segment_len
+    reward_n = cseg.reward[:S]
+    done_n = cseg.done[:S]
+    discount = gamma
+    for k in range(1, n_step):
+        live = ~done_n
+        reward_n = reward_n + discount * live * cseg.reward[k : S + k]
+        done_n = done_n | cseg.done[k : S + k]
+        discount *= gamma
+    return Segment(
+        obs=cseg.obs[:S],
+        action=cseg.action[:S],
+        reward=reward_n,
+        done=done_n,
+        obs_next=cseg.obs[n_step : S + n_step],
+        mask_next=cseg.mask[n_step : S + n_step],
+    )
+
+
 def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
-    """Write all L*B transitions round-robin starting at the cursor."""
+    """Write all L*B transitions round-robin starting at the cursor.
+
+    TPU note: a row scatter (``.at[idx].set``) serializes on the scatter
+    unit — measured 13.3 ms for a 262k-row segment on v5e, 65% of the whole
+    fused DQN iteration.  The ring write is contiguous whenever the cursor
+    stays count-aligned (true for any same-size insert sequence, i.e. every
+    training loop in this repo), so the hot path is a single
+    ``dynamic_update_slice`` (a memcpy); the scatter remains as the
+    wrap-around branch of a ``lax.cond`` for exact ring semantics under
+    mixed-size inserts."""
     L, B = seg.action.shape
     count = L * B
     capacity = buffer.obs.shape[0]
-    idx = (buffer.cursor + jnp.arange(count)) % capacity
 
     def flat(x):
         return x.reshape((count,) + x.shape[2:])
 
-    return ReplayBuffer(
-        obs=buffer.obs.at[idx].set(flat(seg.obs)),
-        action=buffer.action.at[idx].set(flat(seg.action)),
-        reward_n=buffer.reward_n.at[idx].set(flat(seg.reward)),
-        done_n=buffer.done_n.at[idx].set(flat(seg.done)),
-        obs_n=buffer.obs_n.at[idx].set(flat(seg.obs_next)),
-        mask_n=buffer.mask_n.at[idx].set(flat(seg.mask_next)),
-        cursor=(buffer.cursor + count) % capacity,
-        filled=jnp.minimum(buffer.filled + count, capacity),
+    new_cursor = (buffer.cursor + count) % capacity
+    new_filled = jnp.minimum(buffer.filled + count, capacity)
+
+    if count >= capacity:
+        # the segment covers the whole buffer: keep the newest rows
+        def tail(x):
+            return flat(x)[-capacity:]
+
+        return ReplayBuffer(
+            obs=tail(seg.obs), action=tail(seg.action),
+            reward_n=tail(seg.reward), done_n=tail(seg.done),
+            obs_n=tail(seg.obs_next), mask_n=tail(seg.mask_next),
+            cursor=new_cursor, filled=new_filled,
+        )
+
+    fields = (
+        ("obs", seg.obs), ("action", seg.action), ("reward_n", seg.reward),
+        ("done_n", seg.done), ("obs_n", seg.obs_next),
+        ("mask_n", seg.mask_next),
     )
+
+    def contiguous(buffer):
+        out = {}
+        for name, data in fields:
+            dst = getattr(buffer, name)
+            start = (buffer.cursor,) + (0,) * (dst.ndim - 1)
+            out[name] = jax.lax.dynamic_update_slice(dst, flat(data), start)
+        return buffer._replace(cursor=new_cursor, filled=new_filled, **out)
+
+    def wrapped(buffer):
+        idx = (buffer.cursor + jnp.arange(count)) % capacity
+        out = {
+            name: getattr(buffer, name).at[idx].set(flat(data))
+            for name, data in fields
+        }
+        return buffer._replace(cursor=new_cursor, filled=new_filled, **out)
+
+    if capacity % count == 0:
+        # a count-aligned cursor can never wrap; cheap traced check picks
+        # the memcpy path at runtime
+        return jax.lax.cond(
+            buffer.cursor % count == 0, contiguous, wrapped, buffer
+        )
+    no_wrap = buffer.cursor + count <= capacity
+    return jax.lax.cond(no_wrap, contiguous, wrapped, buffer)
 
 
 def sample(buffer: ReplayBuffer, key: jax.Array, batch_size: int):

@@ -201,3 +201,85 @@ def test_mixed_opponent_training_runs():
     ts, history = dqn.train(config, generations=2)
     assert len(history) == 2
     assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_buffer_unaligned_wrap_matches_numpy_ring():
+    """insert_segment's fast memcpy path (TPU: dynamic_update_slice) must
+    fall back to exact ring semantics when the cursor wraps mid-insert
+    (mixed-size inserts misalign the cursor)."""
+    capacity = 96
+
+    def make_seg(L, B, base):
+        n = L * B
+        return replay.Segment(
+            obs=(base + jnp.arange(n, dtype=jnp.int32) % 120).astype(
+                jnp.int8).reshape(L, B, 1).repeat(117, 2),
+            action=(base + jnp.arange(n, dtype=jnp.int32)).reshape(L, B),
+            reward=jnp.full((L, B), float(base)),
+            done=jnp.zeros((L, B), bool),
+            obs_next=jnp.zeros((L, B, 117), jnp.int8),
+            mask_next=jnp.ones((L, B, 54), bool),
+        )
+
+    ref = np.zeros(capacity, np.int64)
+    cursor = 0
+    buf = replay.make_buffer(capacity)
+    # 40-row inserts into a 96-slot ring: cursor 0 -> 40 -> 80 -> wraps at 120
+    for i, (L, B) in enumerate([(4, 10), (4, 10), (4, 10), (8, 5)]):
+        seg = make_seg(L, B, base=100 * (i + 1))
+        buf = replay.insert_segment(buf, seg)
+        flat = np.asarray(seg.action).reshape(-1)
+        idx = (cursor + np.arange(len(flat))) % capacity
+        ref[idx] = flat
+        cursor = (cursor + len(flat)) % capacity
+    assert int(buf.cursor) == cursor
+    assert int(buf.filled) == capacity
+    np.testing.assert_array_equal(np.asarray(buf.action), ref)
+
+
+def test_nstep_fold_compact_equivalent():
+    """nstep_fold_compact must agree with nstep_fold everywhere the TD
+    target can see: reward_n/done_n exactly, obs_n/mask_n on live rows
+    (done rows multiply the bootstrap by zero)."""
+    rng = np.random.default_rng(0)
+    S, n, B = 6, 3, 16
+    L = S + n - 1
+    obs_seq = rng.integers(0, 3, (L + 1, B, 117)).astype(np.int8)
+    mask_seq = rng.random((L + 1, B, 54)) < 0.5
+    action = rng.integers(0, 54, (L, B)).astype(np.int32)
+    reward = rng.choice([-1.0, 0.0, 1.0], (L, B)).astype(np.float32)
+    done = (rng.random((L, B)) < 0.2)
+
+    old = replay.nstep_fold(
+        replay.Segment(
+            obs=jnp.asarray(obs_seq[:L]),
+            action=jnp.asarray(action),
+            reward=jnp.asarray(reward),
+            done=jnp.asarray(done),
+            obs_next=jnp.asarray(obs_seq[1:]),
+            mask_next=jnp.asarray(mask_seq[1:]),
+        ),
+        n, 0.9,
+    )
+    old = jax.tree.map(lambda x: x[:S], old)
+    new = replay.nstep_fold_compact(
+        replay.CompactSegment(
+            obs=jnp.asarray(obs_seq),
+            mask=jnp.asarray(mask_seq),
+            action=jnp.asarray(action),
+            reward=jnp.asarray(reward),
+            done=jnp.asarray(done),
+        ),
+        n, 0.9, S,
+    )
+    np.testing.assert_allclose(np.asarray(new.reward), np.asarray(old.reward), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(new.done), np.asarray(old.done))
+    np.testing.assert_array_equal(np.asarray(new.obs), np.asarray(old.obs))
+    np.testing.assert_array_equal(np.asarray(new.action), np.asarray(old.action))
+    live = ~np.asarray(new.done)
+    np.testing.assert_array_equal(
+        np.asarray(new.obs_next)[live], np.asarray(old.obs_next)[live]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new.mask_next)[live], np.asarray(old.mask_next)[live]
+    )
