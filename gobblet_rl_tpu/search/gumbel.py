@@ -41,8 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gobblet_rl_tpu.core import rules
-from gobblet_rl_tpu.search.mcts import _evaluate, _mover_can_win
+from gobblet_rl_tpu.search.mcts import (
+    _apply_and_winner,
+    _evaluate,
+    _mover_can_win,
+    _winning_actions,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +72,18 @@ def _phase_table(num_sims: int, max_considered: int) -> np.ndarray:
 def _considered_counts(max_considered: int, num_phases: int) -> np.ndarray:
     m = max(2, max_considered)
     return np.array([max(2, m >> p) for p in range(num_phases)], np.int32)
+
+
+def _top_k_mask(score: jnp.ndarray, k) -> jnp.ndarray:
+    """bool[54]: entries whose value is >= the k-th largest (tie-inclusive,
+    identical to ``score >= jnp.sort(score)[-k]`` for any traced k).
+
+    Rank counting instead of sort: a [54,54] pairwise comparison vectorizes
+    on the VPU, while XLA's variadic sort is a serial network — measured
+    ~1 ms per [512,54] sort on v5e, paid once per simulation in the
+    sequential-halving loop."""
+    rank = (score[None, :] > score[:, None]).sum(axis=1)
+    return rank < k
 
 
 def _sigma(q: jnp.ndarray, max_n: jnp.ndarray, config: GumbelConfig) -> jnp.ndarray:
@@ -127,8 +143,7 @@ def gumbel_search_single(net_apply, params, board, player, key,
     logp0 = jnp.where(mask0, jnp.log(jnp.maximum(priors0, 1e-12)), -jnp.inf)
     base_score = jnp.where(mask0, g + logp0, -jnp.inf)
     m0 = counts_np[0]
-    kth0 = jnp.sort(base_score)[-m0]
-    considered0 = mask0 & (base_score >= kth0)
+    considered0 = mask0 & _top_k_mask(base_score, m0)
 
     def root_score(N_, W_):
         """g + logits + sigma(q) for halving/final selection."""
@@ -159,8 +174,7 @@ def gumbel_search_single(net_apply, params, board, player, key,
         k = counts_tab[phase]
         sc = root_score(N, W)
         sc_cons = jnp.where(considered, sc, -jnp.inf)
-        kth = jnp.sort(sc_cons)[-k]
-        halved = considered & (sc_cons >= kth)
+        halved = considered & _top_k_mask(sc_cons, k)
         considered = jnp.where(is_new_phase, halved, considered)
 
         # ---- root action: fewest-visits-first among considered
@@ -187,9 +201,8 @@ def gumbel_search_single(net_apply, params, board, player, key,
         # ---- expand (identical discipline to mcts.mcts_search_single)
         new_idx = jnp.int32(sim + 1)
         is_term = terminal[node]
-        nboard = rules.apply_action(boards[node], players[node], action)
+        nboard, winner = _apply_and_winner(boards[node], players[node], action)
         nplayer = 1 - players[node]
-        winner = rules.line_winner(nboard)
         nterminal = winner != 0
 
         npriors, nvalue, nmask = _evaluate(net_apply, params, nboard, nplayer)
@@ -260,12 +273,7 @@ def gumbel_search_single(net_apply, params, board, player, key,
     action = jnp.argmax(jnp.where(considered, final_sc, -jnp.inf)).astype(jnp.int32)
 
     # exact 1-ply root override (same certification as the PUCT search)
-    def winner_after(a):
-        return rules.line_winner(rules.apply_action(board, player, a, legal=mask0[a]))
-
-    winners = jax.vmap(winner_after)(jnp.arange(54))
-    sign = jnp.where(player == 0, 1, -1).astype(winners.dtype)
-    root_win = (winners == sign) & mask0
+    root_win = _winning_actions(board, player)
     action = jnp.where(root_win.any(),
                        jnp.argmax(root_win).astype(jnp.int32), action)
 

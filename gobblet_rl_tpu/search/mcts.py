@@ -31,8 +31,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from gobblet_rl_tpu.core import rules
 from gobblet_rl_tpu.core import types as T
+from gobblet_rl_tpu.ops import batched_core as bc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,16 +47,63 @@ class MCTSConfig:
     noise_frac: float = 0.25
 
 
+# ---------------------------------------------------------------------------
+# Single-board rules ops, expressed on the lane-major engine
+#
+# The search bodies run per root under vmap, so every rules call here is
+# written against ops.batched_core with the (tiny) lane axis LAST: the
+# candidate actions — or just one action — are the batch.  Under the outer
+# vmap this compiles to the rollout engine's closed-form elementwise algebra.
+# The previous formulation vmapped core.rules (per-cell dynamic indexing):
+# its 54-way 1-ply solve alone measured 4.3 ms of the 4.8 ms sim-step at
+# B=512 on v5e; this one removes that wall.
+# ---------------------------------------------------------------------------
+def _lane_state(board, player, n: int) -> bc.PlanesState:
+    """PlanesState with one [3,9] board replicated over n lanes."""
+    return bc.PlanesState(
+        board=jnp.broadcast_to(board[..., None], (3, 9, n)).astype(jnp.int8),
+        current=jnp.full(n, player, jnp.int32),
+        turn=jnp.zeros(n, jnp.int32),
+        done=jnp.zeros(n, bool),
+        winner=jnp.zeros(n, jnp.int8),
+        last_action=jnp.full(n, -1, jnp.int32),
+        rewards=jnp.zeros((2, n), jnp.float32),
+    )
+
+
+def _legal_mask_1(board, player):
+    """bool[54] legal mask of one board via the lane-major engine."""
+    return bc.legal_mask_planes(
+        board[..., None], jnp.asarray(player, jnp.int32)[None]
+    )[:, 0]
+
+
+def _winning_actions(board, player):
+    """bool[54]: legal actions that win immediately for the mover (the 54
+    candidates are the lane axis of one step_planes call)."""
+    mask = _legal_mask_1(board, player)
+    stepped = bc.step_planes(_lane_state(board, player, 54), jnp.arange(54))
+    sign = jnp.where(player == 0, 1, -1).astype(stepped.winner.dtype)
+    return mask & (stepped.winner == sign)
+
+
+def _apply_and_winner(board, player, action):
+    """(next board int8[3,9], winner int8) for one legal action."""
+    stepped = bc.step_planes(
+        _lane_state(board, player, 1), jnp.asarray(action, jnp.int32)[None]
+    )
+    return stepped.board[..., 0], stepped.winner[0]
+
+
 def _evaluate(net_apply, params, board, player):
     """(priors[54], value) for the player to move; masked softmax priors."""
-    from gobblet_rl_tpu.core import observe
-
-    planes = observe.observe_planes(board, player)
-    # (channel, cell) flatten order — matches ops.batched_core.features_lm,
-    # so params trained by dqn/ppo evaluate identically here
-    obs = jnp.transpose(planes, (2, 0, 1)).reshape(1, -1)
+    # (channel, cell) flatten order — identical to the batched trainers'
+    # features_lm, so params trained by dqn/ppo evaluate identically here
+    obs = bc.features_lm(
+        board[..., None], jnp.asarray(player, jnp.int32)[None]
+    ).T
     logits, value = net_apply(params, obs)
-    mask = rules.legal_mask(board, player)
+    mask = _legal_mask_1(board, player)
     masked = jnp.where(mask, logits[0], -1e9)
     priors = jax.nn.softmax(masked)
     # bound net values to (-1, 1): exact +-1 q-values then certify terminal
@@ -78,14 +125,7 @@ def _mover_can_win(board, player):
     their mover, so a single visit certifies the parent edge as a loss —
     this is what makes blocking tactics reliable with few simulations.
     """
-    mask = rules.legal_mask(board, player)
-
-    def winner_after(a):
-        return rules.line_winner(rules.apply_action(board, player, a, legal=mask[a]))
-
-    winners = jax.vmap(winner_after)(jnp.arange(54))
-    sign = jnp.where(player == 0, 1, -1).astype(winners.dtype)
-    return ((winners == sign) & mask).any()
+    return _winning_actions(board, player).any()
 
 
 def mcts_search_single(net_apply, params, board, player, key, config: MCTSConfig):
@@ -149,9 +189,8 @@ def mcts_search_single(net_apply, params, board, player, key, config: MCTSConfig
         # ---- EXPAND at (node, action) -> new node index sim+1 ----
         new_idx = jnp.int32(sim + 1)
         is_term = terminal[node]
-        nboard = rules.apply_action(boards[node], players[node], action)
+        nboard, winner = _apply_and_winner(boards[node], players[node], action)
         nplayer = 1 - players[node]
-        winner = rules.line_winner(nboard)
         nterminal = winner != 0
 
         npriors, nvalue, nmask = _evaluate(net_apply, params, nboard, nplayer)
@@ -220,12 +259,7 @@ def mcts_search_single(net_apply, params, board, player, key, config: MCTSConfig
 
     # exact 1-ply root solve: actions that win immediately (same rule the
     # greedy baseline applies first, greedy_policy.py:84-94)
-    def winner_after(a):
-        return rules.line_winner(rules.apply_action(board, player, a, legal=mask0[a]))
-
-    winners = jax.vmap(winner_after)(jnp.arange(54))
-    sign = jnp.where(player == 0, 1, -1).astype(winners.dtype)
-    root_win = (winners == sign) & mask0
+    root_win = _winning_actions(board, player)
     return N[0], root_q, root_win
 
 
