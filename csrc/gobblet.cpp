@@ -386,9 +386,11 @@ int negamax(int8_t* b, int player, int depth, int alpha, int beta, int ply,
   const int my_sign = player == 0 ? 1 : -1;
   if (w != 0) return w == my_sign ? kWin - ply : -(kWin - ply);
   if (depth <= 0) {
-    const uint64_t h = position_hash(b, player);
-    const int jitter =
-        ctx->exact ? 0 : static_cast<int>(splitmix64(h ^ ctx->salt) & 3) - 1;
+    int jitter = 0;
+    if (!ctx->exact) {  // exact mode never jitters: skip the 27-cell hash
+      const uint64_t h = position_hash(b, player);
+      jitter = static_cast<int>(splitmix64(h ^ ctx->salt) & 3) - 1;
+    }
     const int e = eval_white(b) + jitter;
     return player == 0 ? e : -e;
   }
@@ -530,7 +532,7 @@ int gob_alphabeta_action(const int8_t* board, int player, int depth,
 // Exact solver (ground-truth oracle).
 //
 // Deterministic iterative-deepening negamax with no leaf jitter and a
-// dedicated 16M-entry transposition table.  A returned |score| above the
+// dedicated 128M-entry (2 GiB) transposition table.  A returned |score| above the
 // mate threshold is a PROVEN forced win/loss within the searched horizon:
 // mate scores (kWin - ply) can only arise from actual winner_impl() hits,
 // heuristic leaves are bounded far below the threshold, and alpha-beta /
@@ -593,7 +595,7 @@ long gob_solve(const int8_t* board, int player, int max_depth,
   return ctx.nodes;
 }
 
-// Free the solver TT (it is 256 MiB once touched; tests release it).
+// Free the solver TT (it is 2 GiB once touched; tests release it).
 void gob_solve_tt_clear() {
   delete[] tt_solve_table;
   tt_solve_table = nullptr;
@@ -655,7 +657,9 @@ int gob_solve_action(const int8_t* board, int player, int depth,
                            1, &ctx);
     if (s >= best) wins |= 1ULL << a;
   }
-  uint64_t rng = splitmix64(salt | 1);
+  // xor-fold (injective) rather than `salt | 1`, which collapsed every
+  // even/odd salt pair onto one tie-break stream
+  uint64_t rng = splitmix64(salt ^ 0xD1B54A32D192ED03ULL);
   return random_from_mask(wins, &rng);
 }
 

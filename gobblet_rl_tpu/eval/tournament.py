@@ -34,21 +34,17 @@ def greedy_policy(depth: int = 2) -> PolicyFn:
     return fn
 
 
-def alphabeta_policy(depth: int = 6) -> PolicyFn:
-    """Native C++ alpha-beta expert (csrc/gobblet.cpp) lifted into a device
-    policy via ``jax.pure_callback``: the batch of positions crosses to the
-    host once per ply, the transposition-table search runs natively, and the
-    chosen actions come back as a device array — so it composes with
-    ``play_match`` against any jittable policy (MCTS, DQN, PPO, greedy)."""
-    from gobblet_rl_tpu.native import engine
-
-    engine.load()  # build the shared library before tracing
+def _native_batch_policy(batch_fn) -> PolicyFn:
+    """Lift a native batch searcher ``(boards[n,3,9], players[n], salt) ->
+    actions[n]`` into a device policy via ``jax.pure_callback``: the batch
+    of positions crosses to the host once per ply, the search runs natively,
+    and the chosen actions come back as a device array — so it composes with
+    ``play_match`` against any jittable policy (MCTS, DQN, PPO, greedy).
+    Shared scaffolding for :func:`alphabeta_policy` / :func:`solver_policy`."""
 
     def host(board_lm, current, salt):
         boards = np.asarray(board_lm, np.int8).transpose(2, 0, 1)
-        return engine.alphabeta_batch(
-            boards, np.asarray(current), depth, int(salt)
-        )
+        return batch_fn(boards, np.asarray(current), int(salt))
 
     def fn(key, board, current):
         salt = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
@@ -66,35 +62,32 @@ def alphabeta_policy(depth: int = 6) -> PolicyFn:
     return fn
 
 
+def alphabeta_policy(depth: int = 6) -> PolicyFn:
+    """Native C++ alpha-beta expert (csrc/gobblet.cpp) as a device policy."""
+    from gobblet_rl_tpu.native import engine
+
+    engine.load()  # build the shared library before tracing
+    return _native_batch_policy(
+        lambda boards, players, salt: engine.alphabeta_batch(
+            boards, players, depth, salt
+        )
+    )
+
+
 def solver_policy(depth: int = 15) -> PolicyFn:
     """Ground-truth perfect play from the native exact solver
     (csrc/gobblet.cpp gob_solve_action).  The opening is a PROVEN
     first-player win in 13 plies (docs/RESULTS.md), so at depth >= 13 this
     policy converts every won position it is handed; per-lane salt varies
-    only the choice among equally-fast proven wins.  Host-loop contract
-    matches :func:`alphabeta_policy`."""
+    only the choice among equally-fast proven wins."""
     from gobblet_rl_tpu.native import engine
 
     engine.load()
-
-    def host(board_lm, current, salt):
-        boards = np.asarray(board_lm, np.int8).transpose(2, 0, 1)
-        return engine.solve_batch(
-            boards, np.asarray(current), depth, int(salt)
+    return _native_batch_policy(
+        lambda boards, players, salt: engine.solve_batch(
+            boards, players, depth, salt
         )
-
-    def fn(key, board, current):
-        salt = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
-        if not isinstance(board, jax.core.Tracer):
-            return jnp.asarray(host(board, current, int(salt)), jnp.int32)
-        return jax.pure_callback(
-            host,
-            jax.ShapeDtypeStruct(current.shape, jnp.int32),
-            board, current, salt,
-        )
-
-    fn.uses_host_callback = True  # play_match auto-selects its host loop
-    return fn
+    )
 
 
 def dqn_policy(net, params, eps: float = 0.0) -> PolicyFn:

@@ -194,7 +194,7 @@ def solve(board: np.ndarray | None = None, player: int = 0,
 
 
 def solve_tt_clear() -> None:
-    """Release the solver's 256 MiB transposition table."""
+    """Release the solver's 2 GiB transposition table (128M entries)."""
     if _lib is not None:
         _lib.gob_solve_tt_clear()
 

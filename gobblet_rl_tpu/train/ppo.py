@@ -295,10 +295,15 @@ def init_ppo(config: PPOConfig, key):
     opt1 = optimizer.init(p1)
 
     opponent_fn = make_opponent_fn(config, net)
-    # role-specific env states: index r is kept at role r's turn
+    # role-specific env states: index r is kept at role r's turn.  Shared
+    # mode only ever plays role 0, so skip the dead env1 build (it would
+    # pay a full opponent action — e.g. a batched depth-2 greedy lookahead
+    # — whose result is never read).
     lp0 = config.learner_player if config.shared_policy else 0
     env0 = init_env_state(config, opponent_fn, p1, k_env, lp0)
-    env1 = init_env_state(config, opponent_fn, p0, k_env, 1)
+    env1 = env0 if config.shared_policy else init_env_state(
+        config, opponent_fn, p0, k_env, 1
+    )
 
     return net, optimizer, PPOState(
         params=(p0, p1), opt_states=(opt0, opt1), env_states=(env0, env1)

@@ -151,7 +151,10 @@ def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
     new_filled = jnp.minimum(buffer.filled + count, capacity)
 
     if count >= capacity:
-        # the segment covers the whole buffer: keep the newest rows
+        # the segment covers the whole buffer: keep the newest rows, laid
+        # out oldest-first at 0..capacity-1, so the next write (the oldest
+        # row) starts at cursor 0 — NOT (cursor+count)%capacity, which
+        # would point mid-segment and evict fresh rows before stale ones
         def tail(x):
             return flat(x)[-capacity:]
 
@@ -159,7 +162,7 @@ def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
             obs=tail(seg.obs), action=tail(seg.action),
             reward_n=tail(seg.reward), done_n=tail(seg.done),
             obs_n=tail(seg.obs_next), mask_n=tail(seg.mask_next),
-            cursor=new_cursor, filled=new_filled,
+            cursor=jnp.int32(0), filled=new_filled,
         )
 
     fields = (

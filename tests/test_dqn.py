@@ -237,6 +237,37 @@ def test_buffer_unaligned_wrap_matches_numpy_ring():
     np.testing.assert_array_equal(np.asarray(buf.action), ref)
 
 
+def test_buffer_oversized_insert_resets_cursor_for_fifo():
+    """A segment larger than the buffer keeps the newest ``capacity`` rows
+    laid out oldest-first, so the cursor must reset to 0: the next insert
+    has to evict the OLDEST surviving rows, not rows mid-segment
+    (round-3 fix; reachable with num_envs=32768 vs buffer_size=1<<18)."""
+    capacity = 64
+
+    def make_seg(L, B, base):
+        n = L * B
+        return replay.Segment(
+            obs=jnp.zeros((L, B, 117), jnp.int8),
+            action=(base + jnp.arange(n, dtype=jnp.int32)).reshape(L, B),
+            reward=jnp.zeros((L, B), jnp.float32),
+            done=jnp.zeros((L, B), bool),
+            obs_next=jnp.zeros((L, B, 117), jnp.int8),
+            mask_next=jnp.ones((L, B, 54), bool),
+        )
+
+    buf = replay.make_buffer(capacity)
+    buf = replay.insert_segment(buf, make_seg(6, 16, base=0))  # 96 > 64 rows
+    assert int(buf.filled) == capacity
+    assert int(buf.cursor) == 0
+    # newest 64 of the 96 rows survive, oldest-first
+    np.testing.assert_array_equal(np.asarray(buf.action), np.arange(32, 96))
+    # a following small insert overwrites the oldest surviving rows (32..47)
+    buf = replay.insert_segment(buf, make_seg(1, 16, base=1000))
+    expect = np.concatenate([np.arange(1000, 1016), np.arange(48, 96)])
+    np.testing.assert_array_equal(np.asarray(buf.action), expect)
+    assert int(buf.cursor) == 16
+
+
 def test_nstep_fold_compact_equivalent():
     """nstep_fold_compact must agree with nstep_fold everywhere the TD
     target can see: reward_n/done_n exactly, obs_n/mask_n on live rows

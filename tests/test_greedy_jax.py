@@ -169,6 +169,7 @@ def test_agreement_with_host_greedy():
     # class on ~9% of positions — measured 232/256 in-class, 89/256
     # exact-action at N=256 (round 3); the floor guards against drift
     assert host_in_class >= 0.85 * n, (host_in_class, n)
-    # exact-action agreement is NOT expected (random tie-breaks differ);
-    # record it in the assertion message for drift diagnosis
-    assert exact >= 0, exact
+    # exact-action agreement is NOT expected to be high (random tie-breaks
+    # differ), but total disagreement would mean the two no longer rank
+    # moves alike at all — measured 89/256 exact at N=256 (round 3)
+    assert exact >= 0.1 * n, (exact, n)
