@@ -312,27 +312,35 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"# device: {dev.platform} {dev.device_kind}")
 
-    dqn_result = bench_dqn_train()
-    az_result = bench_az_train()
-    ppo_result = bench_ppo_train()
-    median_rate, rollout_aux = bench_rollout()
+    # GOBBLET_BENCH_ONLY=dqn,ppo runs a subset (config sweeps); the default
+    # (unset) runs everything with the headline metric LAST — the contract
+    # the driver's tail-line parser relies on
+    only = set(filter(None, os.environ.get("GOBBLET_BENCH_ONLY", "").split(",")))
+
+    def want(section: str) -> bool:
+        return not only or section in only
 
     # auxiliary metrics first; headline LAST so line-based parsers get it
-    print(json.dumps(dqn_result))
-    print(json.dumps(az_result))
-    print(json.dumps(ppo_result))
-    if rollout_aux is not None:
-        print(json.dumps(rollout_aux))
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec",
-                "value": round(median_rate, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(median_rate / REFERENCE_STEPS_PER_SEC, 1),
-            }
+    if want("dqn"):
+        print(json.dumps(bench_dqn_train()))
+    if want("az"):
+        print(json.dumps(bench_az_train()))
+    if want("ppo"):
+        print(json.dumps(bench_ppo_train()))
+    if want("rollout"):
+        median_rate, rollout_aux = bench_rollout()
+        if rollout_aux is not None:
+            print(json.dumps(rollout_aux))
+        print(
+            json.dumps(
+                {
+                    "metric": "env_steps_per_sec",
+                    "value": round(median_rate, 1),
+                    "unit": "steps/s",
+                    "vs_baseline": round(median_rate / REFERENCE_STEPS_PER_SEC, 1),
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":

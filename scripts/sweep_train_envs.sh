@@ -1,0 +1,33 @@
+#!/bin/bash
+# Train-loop batch-size sweep on the real TPU chip: runs each bench.py
+# family section (GOBBLET_BENCH_ONLY) across env counts to find the
+# throughput-optimal configuration.  Serial by design — ONE TPU process at
+# a time (see CLAUDE.md).  Usage: scripts/sweep_train_envs.sh [out.jsonl]
+set -u
+OUT=${1:-/tmp/sweep_train.jsonl}
+: > "$OUT"
+
+run() {  # run <section> <extra env as K=V...>
+  local section=$1; shift
+  echo "### $section $*" >&2
+  env "$@" GOBBLET_BENCH_ONLY="$section" timeout 900 python bench.py \
+    2>>"${OUT%.jsonl}.log" | while read -r line; do
+      echo "{\"config\": \"$*\", ${line#\{}"
+    done >> "$OUT"
+}
+
+run dqn GOBBLET_BENCH_TRAIN_ENVS=16384
+run dqn GOBBLET_BENCH_TRAIN_ENVS=32768
+run dqn GOBBLET_BENCH_TRAIN_ENVS=65536
+run dqn GOBBLET_BENCH_TRAIN_ENVS=131072
+
+run ppo GOBBLET_BENCH_PPO_ENVS=2048
+run ppo GOBBLET_BENCH_PPO_ENVS=4096
+run ppo GOBBLET_BENCH_PPO_ENVS=8192
+run ppo GOBBLET_BENCH_PPO_ENVS=16384
+
+run az GOBBLET_BENCH_AZ_ENVS=512
+run az GOBBLET_BENCH_AZ_ENVS=1024
+run az GOBBLET_BENCH_AZ_ENVS=2048
+
+cat "$OUT"
