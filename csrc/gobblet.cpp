@@ -540,6 +540,15 @@ int gob_alphabeta_action(const int8_t* board, int player, int depth,
 // The game itself has no draw-by-repetition rule (the reference plays to
 // a win or a ply cap), so a depth-limited proof is a proof of forced win
 // within that many plies of any play.
+//
+// Caveat: "proven" is modulo 64-bit Zobrist key collisions in the shared
+// transposition table (canonical min-of-8 hash, full-key compare).  Over
+// the ~1e8-1e9 nodes of a root solve a cross-position collision is
+// vanishingly unlikely (expected collisions ~ n^2/2^64 < 1e-1 even at 1e9
+// nodes, and a collision only matters if it flips a bound on the proof
+// path), but the proof is probabilistic, not certified.  The committed
+// 13-ply win is independently corroborated by the exploitability audit:
+// the oracle wins 100% of games as P1 against every agent (docs/RESULTS.md).
 // ---------------------------------------------------------------------------
 
 // Solve `board` with `player` to move, deepening to at most max_depth.

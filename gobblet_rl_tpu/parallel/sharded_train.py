@@ -72,8 +72,8 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
     L = local.segment_len + local.n_step - 1
 
     def collect(ts, env_state, key):
-        """Compact collect (see train/dqn.py): obs/mask emitted once per
-        visited state, next-state copies derived by slicing in the fold."""
+        """State-snapshot collect (see train/dqn.py + train/replay.py): the
+        ring stores raw boards; features derive at sample time."""
 
         def body(carry, _):
             env_state, key = carry
@@ -85,21 +85,21 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
             new_state, r, done = learner_step(
                 env_state, actions, k_step, ts.opponent_params
             )
-            return (new_state, key), (obs, mask.astype(bool), actions, r, done)
+            return (new_state, key), (
+                env_state.board, env_state.current, actions, r, done
+            )
 
-        (env_state, key), (obs, mask, actions, r, done) = jax.lax.scan(
+        (env_state, key), (boards, currents, actions, r, done) = jax.lax.scan(
             body, (env_state, key), None, length=L
         )
-        obs_last = dqn_mod._obs_bf(env_state.board, env_state.current)
-        mask_last = bc.legal_mask_planes(env_state.board, env_state.current).T
-        cseg = replay.CompactSegment(
-            obs=jnp.concatenate([obs, obs_last[None]]),
-            mask=jnp.concatenate([mask, mask_last.astype(bool)[None]]),
+        sseg = replay.StateSegment(
+            board=jnp.concatenate([boards, env_state.board[None]]),
+            current=jnp.concatenate([currents, env_state.current[None]]),
             action=actions,
             reward=r,
             done=done,
         )
-        return env_state, cseg, key
+        return env_state, sseg, key
 
     def update(ts, batch):
         import optax
@@ -146,11 +146,10 @@ def make_sharded_train_iteration(config: dqn_mod.DQNConfig, net: QNet, optimizer
         # per-device RNG stream
         key = jax.random.fold_in(key, jax.lax.axis_index(ENV_AXIS))
         key, k_collect = jax.random.split(key)
-        env_state, cseg, key = collect(ts, env_state, k_collect)
-        folded = replay.nstep_fold_compact(
-            cseg, local.n_step, local.gamma, local.segment_len
+        env_state, sseg, key = collect(ts, env_state, k_collect)
+        buffer = replay.insert_segment(
+            buffer, sseg, local.n_step, local.gamma, local.segment_len
         )
-        buffer = replay.insert_segment(buffer, folded)
 
         # one gather for all minibatches (see train/dqn.py)
         key, k_sample = jax.random.split(key)

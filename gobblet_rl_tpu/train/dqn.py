@@ -195,23 +195,24 @@ def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
             new_state, r, done = learner_step(
                 env_state, actions, k_step, ts.opponent_params
             )
-            # next-state features/masks are NOT emitted: they are the next
-            # step's obs/mask (CompactSegment), computed exactly once
-            return (new_state, key), (obs, mask.astype(bool), actions, r, done)
+            # only the raw state snapshot is emitted — the replay ring
+            # stores states, not features (train/replay.py): ~4.6x less
+            # HBM traffic on the measured binding resource
+            return (new_state, key), (
+                env_state.board, env_state.current, actions, r, done
+            )
 
-        (env_state, key), (obs, mask, actions, r, done) = jax.lax.scan(
+        (env_state, key), (boards, currents, actions, r, done) = jax.lax.scan(
             body, (env_state, key), None, length=L
         )
-        obs_last = _obs_bf(env_state.board, env_state.current)
-        mask_last = bc.legal_mask_planes(env_state.board, env_state.current).T
-        cseg = replay.CompactSegment(
-            obs=jnp.concatenate([obs, obs_last[None]]),
-            mask=jnp.concatenate([mask, mask_last.astype(bool)[None]]),
+        sseg = replay.StateSegment(
+            board=jnp.concatenate([boards, env_state.board[None]]),
+            current=jnp.concatenate([currents, env_state.current[None]]),
             action=actions,
             reward=r,
             done=done,
         )
-        return env_state, cseg, key
+        return env_state, sseg, key
 
     def update(ts: TrainState, batch):
         obs, action, reward_n, done_n, obs_n, mask_n = batch
@@ -253,12 +254,11 @@ def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
     @partial(jax.jit, donate_argnums=(2,))
     def train_iteration(ts: TrainState, env_state, buffer, key):
         key, k_collect = jax.random.split(key)
-        env_state, cseg, key = collect(ts, env_state, k_collect)
+        env_state, sseg, key = collect(ts, env_state, k_collect)
         # positions keep a full n-step horizon; the fold is pure slicing
-        folded = replay.nstep_fold_compact(
-            cseg, config.n_step, config.gamma, config.segment_len
+        buffer = replay.insert_segment(
+            buffer, sseg, config.n_step, config.gamma, config.segment_len
         )
-        buffer = replay.insert_segment(buffer, folded)
 
         # one gather for ALL minibatches (the buffer is fixed during the
         # update phase, so this is distribution-identical to per-update

@@ -75,6 +75,17 @@ class PPOConfig:
     pool_every: int = 4       # iterations between snapshot pushes
     mixed_weights: tuple = (0.25, 0.25, 0.5)   # P(random, greedy, pool)
 
+    def __post_init__(self):
+        # non-shared (alternating two-policy) mode is pure self-play; catch
+        # the incompatible combination at construction so every entry point
+        # (train(), init_ppo() + make_train_iteration(), sharded_ppo)
+        # enforces it, not just train()
+        if not self.shared_policy and self.opponent != "self":
+            raise ValueError(
+                "non-shared (alternating two-policy) mode is pure self-play; "
+                f"set shared_policy=True to use opponent={self.opponent!r}"
+            )
+
 
 class PPOState(NamedTuple):
     params: tuple          # (params_p0, params_p1)
@@ -330,11 +341,7 @@ def train(config: PPOConfig = PPOConfig(), logger=None):
         its = {k: make_train_iteration(config, net, optimizer, k) for k in kinds}
         pool = [st.params[0]]  # league seed: the untrained net
     else:
-        if config.opponent != "self":
-            raise ValueError(
-                "non-shared (alternating two-policy) mode is pure self-play; "
-                "set shared_policy=True to use opponent="
-                f"{config.opponent!r}")
+        # config.opponent == "self" is guaranteed by PPOConfig.__post_init__
         its = {"self": make_train_iteration(config, net, optimizer, "self")}
         pool = []
 

@@ -6,6 +6,18 @@ fixed-shape jnp arrays that live in HBM, donated through the jitted train
 step, written by whole collected segments and sampled with a PRNG key —
 no host round-trips anywhere.
 
+Storage layout (round 4): the ring stores the raw game STATE, not derived
+features.  A transition row is (board int8[27], current int8, action,
+reward_n, done_n, next board int8[27], next current int8) ≈ 65 B; the
+117-byte observation planes and 54-byte legal mask are pure functions of
+that snapshot (ops/batched_core.features_lm / legal_mask_planes) and are
+recomputed at sample time — bit-exactly equal to what the collector saw
+(pinned by tests/test_dqn.py::test_state_replay_derivation_bit_exact).
+This cuts ring traffic ~4.6× (was ~297 B/row with stored obs/obs_n/mask_n);
+the replay ring is the fused DQN loop's binding HBM resource (measured in
+docs/RESULTS.md roofline table), and the recompute FLOPs are free at the
+loop's sub-1% MFU.
+
 n-step returns (n=3, gamma=0.9 in the reference DQN config,
 example_tianshou_DQN.py:169-175) are pre-folded at insert time from the
 collected segment.  Gobblet rewards are terminal-only, so the fold
@@ -22,35 +34,45 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gobblet_rl_tpu.ops import batched_core as bc
+
 
 class ReplayBuffer(NamedTuple):
-    """Ring buffer of n-step transitions (all fixed-shape device arrays)."""
+    """Ring buffer of n-step transitions (all fixed-shape device arrays).
 
-    obs: jnp.ndarray        # int8[N, 117]
+    Rows are raw state snapshots; observations/masks derive at sample time.
+    """
+
+    board: jnp.ndarray      # int8[N, 27] — board at s_t, level-major
+    current: jnp.ndarray    # int8[N] — player to move at s_t
     action: jnp.ndarray     # int32[N]
     reward_n: jnp.ndarray   # float32[N] — folded n-step reward
     done_n: jnp.ndarray     # bool[N] — episode ended within the n-step window
-    obs_n: jnp.ndarray      # int8[N, 117] — bootstrap observation s_{t+n}
-    mask_n: jnp.ndarray     # bool[N, 54] — legal mask at s_{t+n}
+    board_n: jnp.ndarray    # int8[N, 27] — board at bootstrap state s_{t+n}
+    current_n: jnp.ndarray  # int8[N] — player to move at s_{t+n}
     cursor: jnp.ndarray     # int32 — next write position
     filled: jnp.ndarray     # int32 — number of valid entries
 
 
-def make_buffer(capacity: int, obs_dim: int = 117, num_actions: int = 54) -> ReplayBuffer:
+def make_buffer(capacity: int) -> ReplayBuffer:
     return ReplayBuffer(
-        obs=jnp.zeros((capacity, obs_dim), jnp.int8),
+        board=jnp.zeros((capacity, 27), jnp.int8),
+        current=jnp.zeros(capacity, jnp.int8),
         action=jnp.zeros(capacity, jnp.int32),
         reward_n=jnp.zeros(capacity, jnp.float32),
         done_n=jnp.zeros(capacity, bool),
-        obs_n=jnp.zeros((capacity, obs_dim), jnp.int8),
-        mask_n=jnp.zeros((capacity, num_actions), bool),
+        board_n=jnp.zeros((capacity, 27), jnp.int8),
+        current_n=jnp.zeros(capacity, jnp.int8),
         cursor=jnp.int32(0),
         filled=jnp.int32(0),
     )
 
 
 class Segment(NamedTuple):
-    """A collected rollout segment, time-major batch-first."""
+    """A collected rollout segment of derived features, time-major
+    batch-first.  Retained as the REFERENCE semantics for the n-step fold
+    (tests assert the state-based pipeline against it); the training path
+    itself uses :class:`StateSegment`."""
 
     obs: jnp.ndarray        # int8[L, B, 117]
     action: jnp.ndarray     # int32[L, B]
@@ -85,19 +107,29 @@ def nstep_fold(seg: Segment, n_step: int, gamma: float) -> Segment:
 
 
 class CompactSegment(NamedTuple):
-    """Collected rollout without redundant next-state copies: ``obs``/``mask``
-    carry L+1 entries (one per visited state incl. the final one), so
-    ``obs_next[t]`` is just ``obs[t+1]`` — the collector skips recomputing
-    features/legal-masks for the post-step state, and the n-step fold
-    becomes pure slicing instead of shifted int8 concats (measured on v5e:
-    2.8 ms -> ~0 for the fold, plus two fewer feature/mask kernels per
-    collect step)."""
+    """Feature-space compact segment (``obs``/``mask`` carry L+1 entries so
+    ``obs_next[t]`` is ``obs[t+1]``).  Kept as the fold-equivalence spec;
+    see :class:`StateSegment` for the shipped collector format."""
 
     obs: jnp.ndarray      # int8[L+1, B, 117]
     mask: jnp.ndarray     # bool[L+1, B, 54]
     action: jnp.ndarray   # int32[L, B]
     reward: jnp.ndarray   # float32[L, B]
     done: jnp.ndarray     # bool[L, B]
+
+
+def _fold_scalars(reward, done, n_step: int, gamma: float, segment_len: int):
+    """Shared n-step reward/done fold over L = segment_len + n_step - 1 rows."""
+    S = segment_len
+    reward_n = reward[:S]
+    done_n = done[:S]
+    discount = gamma
+    for k in range(1, n_step):
+        live = ~done_n
+        reward_n = reward_n + discount * live * reward[k : S + k]
+        done_n = done_n | done[k : S + k]
+        discount *= gamma
+    return reward_n, done_n
 
 
 def nstep_fold_compact(
@@ -111,14 +143,9 @@ def nstep_fold_compact(
     state) — rows whose bootstrap the TD target multiplies by zero.
     Requires ``cseg`` length L = segment_len + n_step - 1."""
     S = segment_len
-    reward_n = cseg.reward[:S]
-    done_n = cseg.done[:S]
-    discount = gamma
-    for k in range(1, n_step):
-        live = ~done_n
-        reward_n = reward_n + discount * live * cseg.reward[k : S + k]
-        done_n = done_n | cseg.done[k : S + k]
-        discount *= gamma
+    reward_n, done_n = _fold_scalars(
+        cseg.reward, cseg.done, n_step, gamma, segment_len
+    )
     return Segment(
         obs=cseg.obs[:S],
         action=cseg.action[:S],
@@ -129,8 +156,68 @@ def nstep_fold_compact(
     )
 
 
-def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
-    """Write all L*B transitions round-robin starting at the cursor.
+class StateSegment(NamedTuple):
+    """Collected rollout as raw states, lane-major — what the DQN collector
+    actually emits.  ``board``/``current`` carry L+1 entries (one per
+    visited state incl. the final one); features are NOT materialized."""
+
+    board: jnp.ndarray    # int8[L+1, 3, 9, B] — lane-major per step
+    current: jnp.ndarray  # int32[L+1, B]
+    action: jnp.ndarray   # int32[L, B]
+    reward: jnp.ndarray   # float32[L, B]
+    done: jnp.ndarray     # bool[L, B]
+
+
+class TransitionBatch(NamedTuple):
+    """n-step transitions in buffer-row layout (batch-first, boards flat)."""
+
+    board: jnp.ndarray      # int8[n, 27]
+    current: jnp.ndarray    # int8[n]
+    action: jnp.ndarray     # int32[n]
+    reward_n: jnp.ndarray   # float32[n]
+    done_n: jnp.ndarray     # bool[n]
+    board_n: jnp.ndarray    # int8[n, 27]
+    current_n: jnp.ndarray  # int8[n]
+
+
+def _rows(board_lm: jnp.ndarray, current: jnp.ndarray):
+    """[S, 3, 9, B] lane-major boards + [S, B] players -> flat row arrays
+    (int8[S*B, 27], int8[S*B]) with flat index t*B + b."""
+    S, _, _, B = board_lm.shape
+    board = jnp.transpose(board_lm, (0, 3, 1, 2)).reshape(S * B, 27)
+    return board, current.astype(jnp.int8).reshape(S * B)
+
+
+def nstep_fold_state(
+    sseg: StateSegment, n_step: int, gamma: float, segment_len: int
+) -> TransitionBatch:
+    """Fold a state segment into ``segment_len`` n-step transition rows.
+
+    Scalar fold identical to :func:`nstep_fold_compact`; the bootstrap
+    state is the snapshot at t+n (post-reset where the episode ended — rows
+    whose bootstrap the TD target multiplies by zero).  Requires
+    ``sseg`` length L = segment_len + n_step - 1."""
+    S = segment_len
+    reward_n, done_n = _fold_scalars(
+        sseg.reward, sseg.done, n_step, gamma, segment_len
+    )
+    board, current = _rows(sseg.board[:S], sseg.current[:S])
+    board_n, current_n = _rows(
+        sseg.board[n_step : S + n_step], sseg.current[n_step : S + n_step]
+    )
+    return TransitionBatch(
+        board=board,
+        current=current,
+        action=sseg.action[:S].reshape(-1),
+        reward_n=reward_n.reshape(-1),
+        done_n=done_n.reshape(-1),
+        board_n=board_n,
+        current_n=current_n,
+    )
+
+
+def insert_rows(buffer: ReplayBuffer, rows: TransitionBatch) -> ReplayBuffer:
+    """Write all rows round-robin starting at the cursor.
 
     TPU note: a row scatter (``.at[idx].set``) serializes on the scatter
     unit — measured 13.3 ms for a 262k-row segment on v5e, 65% of the whole
@@ -140,49 +227,35 @@ def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
     ``dynamic_update_slice`` (a memcpy); the scatter remains as the
     wrap-around branch of a ``lax.cond`` for exact ring semantics under
     mixed-size inserts."""
-    L, B = seg.action.shape
-    count = L * B
-    capacity = buffer.obs.shape[0]
-
-    def flat(x):
-        return x.reshape((count,) + x.shape[2:])
+    count = rows.action.shape[0]
+    capacity = buffer.board.shape[0]
+    fields = list(zip(TransitionBatch._fields, rows))
 
     new_cursor = (buffer.cursor + count) % capacity
     new_filled = jnp.minimum(buffer.filled + count, capacity)
 
     if count >= capacity:
-        # the segment covers the whole buffer: keep the newest rows, laid
+        # the insert covers the whole buffer: keep the newest rows, laid
         # out oldest-first at 0..capacity-1, so the next write (the oldest
         # row) starts at cursor 0 — NOT (cursor+count)%capacity, which
         # would point mid-segment and evict fresh rows before stale ones
-        def tail(x):
-            return flat(x)[-capacity:]
-
-        return ReplayBuffer(
-            obs=tail(seg.obs), action=tail(seg.action),
-            reward_n=tail(seg.reward), done_n=tail(seg.done),
-            obs_n=tail(seg.obs_next), mask_n=tail(seg.mask_next),
+        return buffer._replace(
             cursor=jnp.int32(0), filled=new_filled,
+            **{name: data[-capacity:] for name, data in fields},
         )
-
-    fields = (
-        ("obs", seg.obs), ("action", seg.action), ("reward_n", seg.reward),
-        ("done_n", seg.done), ("obs_n", seg.obs_next),
-        ("mask_n", seg.mask_next),
-    )
 
     def contiguous(buffer):
         out = {}
         for name, data in fields:
             dst = getattr(buffer, name)
             start = (buffer.cursor,) + (0,) * (dst.ndim - 1)
-            out[name] = jax.lax.dynamic_update_slice(dst, flat(data), start)
+            out[name] = jax.lax.dynamic_update_slice(dst, data, start)
         return buffer._replace(cursor=new_cursor, filled=new_filled, **out)
 
     def wrapped(buffer):
         idx = (buffer.cursor + jnp.arange(count)) % capacity
         out = {
-            name: getattr(buffer, name).at[idx].set(flat(data))
+            name: getattr(buffer, name).at[idx].set(data)
             for name, data in fields
         }
         return buffer._replace(cursor=new_cursor, filled=new_filled, **out)
@@ -197,14 +270,38 @@ def insert_segment(buffer: ReplayBuffer, seg: Segment) -> ReplayBuffer:
     return jax.lax.cond(no_wrap, contiguous, wrapped, buffer)
 
 
+def insert_segment(
+    buffer: ReplayBuffer, sseg: StateSegment, n_step: int, gamma: float,
+    segment_len: int,
+) -> ReplayBuffer:
+    """Fold + insert a collected state segment (the training hot path)."""
+    return insert_rows(
+        buffer, nstep_fold_state(sseg, n_step, gamma, segment_len)
+    )
+
+
+def derive_features(board_rows: jnp.ndarray, current_rows: jnp.ndarray):
+    """(int8[n, 27] boards, int8[n] players) -> (obs int8[n, 117],
+    mask bool[n, 54]) via the lane-major kernels — bit-identical to what
+    the collector computed for the same state."""
+    board_lm = board_rows.T.reshape(3, 9, -1)
+    current = current_rows.astype(jnp.int32)
+    obs = bc.features_lm(board_lm, current).T
+    mask = bc.legal_mask_planes(board_lm, current).T
+    return obs, mask
+
+
 def sample(buffer: ReplayBuffer, key: jax.Array, batch_size: int):
-    """Uniform minibatch over the filled prefix."""
+    """Uniform minibatch over the filled prefix; obs/obs_n/mask_n derived
+    from the stored state snapshots (same tuple contract as before)."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buffer.filled, 1))
+    obs, _ = derive_features(buffer.board[idx], buffer.current[idx])
+    obs_n, mask_n = derive_features(buffer.board_n[idx], buffer.current_n[idx])
     return (
-        buffer.obs[idx],
+        obs,
         buffer.action[idx],
         buffer.reward_n[idx],
         buffer.done_n[idx],
-        buffer.obs_n[idx],
-        buffer.mask_n[idx],
+        obs_n,
+        mask_n,
     )

@@ -10,10 +10,21 @@ OUT=${1:-/tmp/sweep_train.jsonl}
 run() {  # run <section> <extra env as K=V...>
   local section=$1; shift
   echo "### $section $*" >&2
-  env "$@" GOBBLET_BENCH_ONLY="$section" timeout 900 python bench.py \
+  env "$@" GOBBLET_BENCH_ONLY="$section" timeout 1800 python bench.py \
     2>>"${OUT%.jsonl}.log" | while read -r line; do
-      echo "{\"config\": \"$*\", ${line#\{}"
+      # bench.py prints one JSON object per line; anything else (a crash
+      # traceback fragment, a stray print) must not silently corrupt OUT
+      if [[ $line == {* ]]; then
+        echo "{\"config\": \"$*\", ${line#\{}"
+      else
+        echo "WARN: non-JSON bench output dropped: $line" >&2
+      fi
     done >> "$OUT"
+  local status=${PIPESTATUS[0]}
+  if [[ $status -ne 0 ]]; then
+    echo "WARN: section '$section $*' exited $status (see ${OUT%.jsonl}.log)" >&2
+    echo "{\"config\": \"$*\", \"metric\": \"${section}_FAILED\", \"exit\": $status}" >> "$OUT"
+  fi
 }
 
 run dqn GOBBLET_BENCH_TRAIN_ENVS=16384
@@ -29,5 +40,7 @@ run ppo GOBBLET_BENCH_PPO_ENVS=16384
 run az GOBBLET_BENCH_AZ_ENVS=512
 run az GOBBLET_BENCH_AZ_ENVS=1024
 run az GOBBLET_BENCH_AZ_ENVS=2048
+run az GOBBLET_BENCH_AZ_ENVS=4096
+run az GOBBLET_BENCH_AZ_ENVS=8192
 
 cat "$OUT"

@@ -90,24 +90,32 @@ def test_nstep_fold_terminal_rewards():
     assert o.tolist() == [2, 2, 2, 5, 5, 5]
 
 
+def make_rows(n, base=0):
+    """Synthetic TransitionBatch rows with identifiable action values."""
+    return replay.TransitionBatch(
+        board=jnp.zeros((n, 27), jnp.int8),
+        current=jnp.zeros(n, jnp.int8),
+        action=base + jnp.arange(n, dtype=jnp.int32),
+        reward_n=jnp.full(n, float(base), jnp.float32),
+        done_n=jnp.zeros(n, bool),
+        board_n=jnp.zeros((n, 27), jnp.int8),
+        current_n=jnp.zeros(n, jnp.int8),
+    )
+
+
 def test_buffer_ring_and_sample():
     buf = replay.make_buffer(256)
-    L, B = 4, 32
-    seg = replay.Segment(
-        obs=jnp.ones((L, B, 117), jnp.int8),
-        action=jnp.arange(L * B, dtype=jnp.int32).reshape(L, B),
-        reward=jnp.ones((L, B), jnp.float32),
-        done=jnp.zeros((L, B), bool),
-        obs_next=jnp.ones((L, B, 117), jnp.int8),
-        mask_next=jnp.ones((L, B, 54), bool),
-    )
-    buf = replay.insert_segment(buf, seg)
+    rows = make_rows(128)
+    buf = replay.insert_rows(buf, rows)
     assert int(buf.filled) == 128 and int(buf.cursor) == 128
-    buf = replay.insert_segment(buf, seg)
-    buf = replay.insert_segment(buf, seg)  # wraps
+    buf = replay.insert_rows(buf, rows)
+    buf = replay.insert_rows(buf, rows)  # wraps
     assert int(buf.filled) == 256 and int(buf.cursor) == 128
     obs, action, r, d, obs_n, mask_n = replay.sample(buf, jax.random.PRNGKey(0), 64)
     assert obs.shape == (64, 117) and action.shape == (64,)
+    assert mask_n.shape == (64, 54) and mask_n.dtype == bool
+    # empty board -> all 54 moves legal, all obs planes zero except nothing
+    assert bool(mask_n.all())
 
 
 def test_train_iteration_runs_and_shapes():
@@ -209,26 +217,14 @@ def test_buffer_unaligned_wrap_matches_numpy_ring():
     (mixed-size inserts misalign the cursor)."""
     capacity = 96
 
-    def make_seg(L, B, base):
-        n = L * B
-        return replay.Segment(
-            obs=(base + jnp.arange(n, dtype=jnp.int32) % 120).astype(
-                jnp.int8).reshape(L, B, 1).repeat(117, 2),
-            action=(base + jnp.arange(n, dtype=jnp.int32)).reshape(L, B),
-            reward=jnp.full((L, B), float(base)),
-            done=jnp.zeros((L, B), bool),
-            obs_next=jnp.zeros((L, B, 117), jnp.int8),
-            mask_next=jnp.ones((L, B, 54), bool),
-        )
-
     ref = np.zeros(capacity, np.int64)
     cursor = 0
     buf = replay.make_buffer(capacity)
     # 40-row inserts into a 96-slot ring: cursor 0 -> 40 -> 80 -> wraps at 120
-    for i, (L, B) in enumerate([(4, 10), (4, 10), (4, 10), (8, 5)]):
-        seg = make_seg(L, B, base=100 * (i + 1))
-        buf = replay.insert_segment(buf, seg)
-        flat = np.asarray(seg.action).reshape(-1)
+    for i, n in enumerate([40, 40, 40, 40]):
+        rows = make_rows(n, base=100 * (i + 1))
+        buf = replay.insert_rows(buf, rows)
+        flat = np.asarray(rows.action)
         idx = (cursor + np.arange(len(flat))) % capacity
         ref[idx] = flat
         cursor = (cursor + len(flat)) % capacity
@@ -244,25 +240,14 @@ def test_buffer_oversized_insert_resets_cursor_for_fifo():
     (round-3 fix; reachable with num_envs=32768 vs buffer_size=1<<18)."""
     capacity = 64
 
-    def make_seg(L, B, base):
-        n = L * B
-        return replay.Segment(
-            obs=jnp.zeros((L, B, 117), jnp.int8),
-            action=(base + jnp.arange(n, dtype=jnp.int32)).reshape(L, B),
-            reward=jnp.zeros((L, B), jnp.float32),
-            done=jnp.zeros((L, B), bool),
-            obs_next=jnp.zeros((L, B, 117), jnp.int8),
-            mask_next=jnp.ones((L, B, 54), bool),
-        )
-
     buf = replay.make_buffer(capacity)
-    buf = replay.insert_segment(buf, make_seg(6, 16, base=0))  # 96 > 64 rows
+    buf = replay.insert_rows(buf, make_rows(96, base=0))  # 96 > 64 rows
     assert int(buf.filled) == capacity
     assert int(buf.cursor) == 0
     # newest 64 of the 96 rows survive, oldest-first
     np.testing.assert_array_equal(np.asarray(buf.action), np.arange(32, 96))
     # a following small insert overwrites the oldest surviving rows (32..47)
-    buf = replay.insert_segment(buf, make_seg(1, 16, base=1000))
+    buf = replay.insert_rows(buf, make_rows(16, base=1000))
     expect = np.concatenate([np.arange(1000, 1016), np.arange(48, 96)])
     np.testing.assert_array_equal(np.asarray(buf.action), expect)
     assert int(buf.cursor) == 16
@@ -313,4 +298,96 @@ def test_nstep_fold_compact_equivalent():
     )
     np.testing.assert_array_equal(
         np.asarray(new.mask_next)[live], np.asarray(old.mask_next)[live]
+    )
+
+
+def test_state_replay_derivation_bit_exact():
+    """Round-4 replay redesign done-criterion: the state-storing ring
+    reproduces the feature-storing pipeline BIT-EXACTLY — obs/obs_n/mask_n
+    derived at sample time from the stored board snapshots equal the
+    features the collector computed for the same states, on every row of a
+    real engine trajectory (including episode resets inside the segment)."""
+    from gobblet_rl_tpu.ops import batched_core as bc
+
+    S, n_step, B = 8, 3, 64
+    L = S + n_step - 1
+    key = jax.random.PRNGKey(42)
+    state = bc.reset_planes(B)
+    boards, currents, obs_seq, mask_seq = [], [], [], []
+    actions, rewards, dones = [], [], []
+    for t in range(L + 1):
+        boards.append(state.board)
+        currents.append(state.current)
+        obs_seq.append(dqn._obs_bf(state.board, state.current))
+        mask_seq.append(bc.legal_mask_planes(state.board, state.current).T)
+        if t < L:
+            key, sub = jax.random.split(key)
+            a = bc.sample_random_lm(sub, mask_seq[-1].T)
+            s1 = bc.step_planes(state, a)
+            actions.append(a)
+            rewards.append(s1.rewards[0])
+            dones.append(s1.done)
+            state = bc.autoreset_planes(s1)
+    assert np.asarray(jnp.stack(dones)).any(), "trajectory must contain resets"
+
+    action = jnp.stack(actions)
+    reward = jnp.stack(rewards)
+    done = jnp.stack(dones)
+    folded = replay.nstep_fold_compact(
+        replay.CompactSegment(
+            obs=jnp.stack(obs_seq), mask=jnp.stack(mask_seq),
+            action=action, reward=reward, done=done,
+        ),
+        n_step, 0.9, S,
+    )
+    rows = replay.nstep_fold_state(
+        replay.StateSegment(
+            board=jnp.stack(boards), current=jnp.stack(currents),
+            action=action, reward=reward, done=done,
+        ),
+        n_step, 0.9, S,
+    )
+
+    n = S * B
+    np.testing.assert_allclose(
+        np.asarray(rows.reward_n), np.asarray(folded.reward).reshape(n),
+        atol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows.done_n), np.asarray(folded.done).reshape(n)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows.action), np.asarray(folded.action).reshape(n)
+    )
+    obs_d, _ = replay.derive_features(rows.board, rows.current)
+    np.testing.assert_array_equal(
+        np.asarray(obs_d), np.asarray(folded.obs).reshape(n, 117)
+    )
+    obs_nd, mask_nd = replay.derive_features(rows.board_n, rows.current_n)
+    np.testing.assert_array_equal(
+        np.asarray(obs_nd), np.asarray(folded.obs_next).reshape(n, 117)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask_nd), np.asarray(folded.mask_next).reshape(n, 54)
+    )
+
+    # end-to-end through the ring + uniform sampler
+    buf = replay.make_buffer(n)
+    buf = replay.insert_rows(buf, rows)
+    assert int(buf.filled) == n
+    obs_s, act_s, r_s, d_s, obs_ns, mask_ns = replay.sample(
+        buf, jax.random.PRNGKey(7), 128
+    )
+    # every sampled row must exist verbatim in the feature-path fold
+    flat_obs = np.asarray(folded.obs).reshape(n, 117)
+    got = np.asarray(obs_s)
+    # reconstruct row ids from the stored action stream is ambiguous;
+    # instead re-derive from the buffer rows the sampler indexed
+    idx = jax.random.randint(
+        jax.random.PRNGKey(7), (128,), 0, jnp.maximum(buf.filled, 1)
+    )
+    np.testing.assert_array_equal(got, flat_obs[np.asarray(idx)])
+    np.testing.assert_array_equal(
+        np.asarray(mask_ns),
+        np.asarray(folded.mask_next).reshape(n, 54)[np.asarray(idx)],
     )

@@ -28,16 +28,27 @@ def _headless():
 def _check_golden(name: str, frame: np.ndarray) -> None:
     from PIL import Image
 
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
     path = os.path.join(GOLDEN_DIR, name)
-    if os.environ.get("GOBBLET_UPDATE_GOLDEN") or not os.path.exists(path):
+    if os.environ.get("GOBBLET_UPDATE_GOLDEN"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
         Image.fromarray(frame).save(path)
-        if os.environ.get("GOBBLET_UPDATE_GOLDEN"):
-            pytest.skip(f"golden {name} regenerated")
+        pytest.skip(f"golden {name} regenerated")
+    # a deleted / never-committed golden must FAIL, not silently regenerate
+    # from the (possibly regressed) current frame
+    assert os.path.exists(path), (
+        f"golden {name} missing — regenerate deliberately with "
+        "GOBBLET_UPDATE_GOLDEN=1 after verifying the frame visually"
+    )
     golden = np.asarray(Image.open(path))
     assert frame.shape == golden.shape, (frame.shape, golden.shape)
-    mismatch = (frame != golden).any(axis=-1).sum()
-    assert mismatch == 0, f"{name}: {mismatch} pixels differ from golden"
+    # tolerate a sliver of anti-aliasing drift across pygame/SDL builds
+    # (circle rasterization differs at edges); a real regression — wrong
+    # color, wrong placement — moves thousands of pixels
+    mismatch = int((frame != golden).any(axis=-1).sum())
+    budget = int(frame.shape[0] * frame.shape[1] * 0.002)
+    assert mismatch <= budget, (
+        f"{name}: {mismatch} pixels differ from golden (budget {budget})"
+    )
 
 
 def test_env_rgb_array_matches_golden():
