@@ -29,7 +29,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model", type=str, default="conv", choices=["conv", "mlp"])
     parser.add_argument("--logdir", type=str, default="log")
     parser.add_argument("--checkpoint-dir", type=str, default=None,
-                        help="save/resume full AZState via Orbax")
+                        help="save/resume the AZState pytree via Orbax "
+                        "(params + optimizer + env batch)")
+    parser.add_argument("--full-resume-dir", type=str, default=None,
+                        help="exact preemption resume: also checkpoints the "
+                        "PRNG key so an interrupted run reproduces the "
+                        "uninterrupted one bit-for-bit")
     parser.add_argument("--eval-games", type=int, default=256,
                         help="post-training tournament games vs each baseline "
                         "(0 to skip)")
@@ -144,7 +149,8 @@ def main(args=None):
         os.path.join(args.logdir, "gobblet_rl_tpu", "alphazero"), vars(args)
     )
     net, st, history = alphazero.train(
-        config, logger=logger, checkpoint_dir=args.checkpoint_dir
+        config, logger=logger, checkpoint_dir=args.checkpoint_dir,
+        full_resume_dir=args.full_resume_dir,
     )
     print(f"final: {history[-1] if history else 'resumed at end'}")
 

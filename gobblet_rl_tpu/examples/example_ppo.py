@@ -32,6 +32,15 @@ def get_parser() -> argparse.ArgumentParser:
                         metavar=("P_RANDOM", "P_GREEDY", "P_POOL"),
                         help="opponent=mixed: per-iteration draw weights")
     parser.add_argument("--logdir", type=str, default="log")
+    parser.add_argument("--checkpoint-dir", type=str, default=None,
+                        help="full-resume checkpoints (params + optimizer + "
+                        "env batches + PRNG + league pool + opponent-draw "
+                        "RNG) saved every iteration; an interrupted run "
+                        "relaunched with the same flags resumes bit-exactly")
+    parser.add_argument("--resume", action="store_true",
+                        help="explicit opt-in alias: with --checkpoint-dir "
+                        "the run auto-resumes from the latest step anyway; "
+                        "--resume alone errors to catch a missing dir")
     return parser
 
 
@@ -54,9 +63,13 @@ def main(args=None):
         opponent=args.opponent,
         mixed_weights=tuple(args.mixed_weights),
     )
+    if getattr(args, "resume", False) and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
     logger = make_logger(os.path.join(args.logdir, "gobblet_rl_tpu", "ppo"), vars(args))
-    st, history = ppo.train(config, logger=logger)
-    print(f"final: {history[-1]}")
+    st, history = ppo.train(
+        config, logger=logger, full_resume_dir=args.checkpoint_dir
+    )
+    print(f"final: {history[-1] if history else 'resumed at end'}")
     return st, history
 
 

@@ -318,8 +318,16 @@ def az_policy(net, params, num_sims: int = 128, c_puct: float = 1.5):
     ))
 
 
-def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None):
-    """Run AlphaZero self-play training; returns (net, AZState, history)."""
+def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None,
+          full_resume_dir=None):
+    """Run AlphaZero self-play training; returns (net, AZState, history).
+
+    ``checkpoint_dir`` saves/restores the AZState pytree (params + optimizer
+    + env batch) — enough to continue training, not bit-exact across the
+    PRNG chain.  ``full_resume_dir`` additionally checkpoints the PRNG key,
+    so a run preempted mid-way and resumed reproduces the uninterrupted run
+    bit-for-bit (pinned by tests/test_alphazero.py; the working equivalent
+    of the reference's restore sketch, example_RLlib.py:93-108)."""
     from gobblet_rl_tpu.train import checkpoint as ckpt
 
     key = jax.random.PRNGKey(config.seed)
@@ -330,6 +338,12 @@ def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None):
         restored, step = ckpt.restore(checkpoint_dir, st)
         if restored is not None:
             st, start = restored, step + 1
+    if full_resume_dir is not None:
+        payload, step = ckpt.restore_payload(
+            full_resume_dir, {"state": st, "key": key}
+        )
+        if payload is not None:
+            st, key, start = payload["state"], payload["key"], step + 1
 
     it = make_train_iteration(config, net, optimizer)
     history = []
@@ -354,4 +368,6 @@ def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None):
             logger.log(record)
         if checkpoint_dir is not None:
             ckpt.save(checkpoint_dir, st, i)
+        if full_resume_dir is not None:
+            ckpt.save_payload(full_resume_dir, {"state": st, "key": key}, i)
     return net, st, history

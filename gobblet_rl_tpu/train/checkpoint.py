@@ -8,6 +8,7 @@ snapshot, optimizer state and gradient-step counter.
 
 from __future__ import annotations
 
+import json
 import os
 
 import orbax.checkpoint as ocp
@@ -65,6 +66,55 @@ def restore_full(directory: str, train_state, env_state, buffer, key):
     }
     mgr = _manager(directory)
     step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None, None
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return restored, step
+
+
+def save_payload(directory: str, payload, step: int, meta: dict | None = None) -> None:
+    """Generic full-resume save: any device pytree plus an optional
+    JSON-able ``meta`` sidecar for host-side state that is not a pytree of
+    arrays (e.g. a numpy Generator's bit-generator state, league pool
+    length).  Used by the AZ/PPO full-resume paths (train/alphazero.py,
+    train/ppo.py) — the working equivalent of the reference's restore
+    sketch (/root/reference/gobblet_rl/examples/example_RLlib.py:93-108)."""
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+    if meta is not None:
+        path = os.path.join(os.path.abspath(directory), f"meta-{step}.json")
+        with open(path, "w") as f:
+            json.dump(meta, f)
+
+
+def latest_step(directory: str):
+    """Latest saved step in ``directory`` or None (no checkpoint yet)."""
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def load_meta(directory: str, step: int) -> dict | None:
+    path = os.path.join(os.path.abspath(directory), f"meta-{step}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def restore_payload(directory: str, template, step: int | None = None):
+    """Restore the latest (or given) payload into ``template``'s structure;
+    returns (payload, step) or (None, None) when nothing is saved."""
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
     if step is None:
         mgr.close()
         return None, None

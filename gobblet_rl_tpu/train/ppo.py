@@ -321,7 +321,7 @@ def init_ppo(config: PPOConfig, key):
     )
 
 
-def train(config: PPOConfig = PPOConfig(), logger=None):
+def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
     """PPO training; returns (PPOState, history).
 
     ``shared_policy=False`` (reference-equivalent): two parameter sets
@@ -330,6 +330,13 @@ def train(config: PPOConfig = PPOConfig(), logger=None):
     ``shared_policy=True``: one parameter set trains on the seat(s) given by
     ``learner_player`` against the configured ``opponent``; ``pool`` / the
     pool leg of ``mixed`` sample a frozen past snapshot per iteration.
+
+    ``full_resume_dir`` checkpoints the COMPLETE training state each
+    iteration — both parameter/optimizer sets, both env batches, the PRNG
+    key, the league snapshot pool AND the host-side opponent-draw RNG — so
+    a preempted run resumed from it reproduces the uninterrupted run
+    bit-for-bit (tests/test_ppo.py; working equivalent of the reference's
+    restore sketch, example_RLlib.py:93-108).
     """
     key = jax.random.PRNGKey(config.seed)
     net, optimizer, st = init_ppo(config, key)
@@ -345,8 +352,28 @@ def train(config: PPOConfig = PPOConfig(), logger=None):
         its = {"self": make_train_iteration(config, net, optimizer, "self")}
         pool = []
 
+    start = 0
+    if full_resume_dir is not None:
+        from gobblet_rl_tpu.train import checkpoint as ckpt
+
+        step = ckpt.latest_step(full_resume_dir)
+        if step is not None:
+            meta = ckpt.load_meta(full_resume_dir, step) or {}
+            pool_len = int(meta.get("pool_len", len(pool)))
+            template = {
+                "state": st, "key": key,
+                "pool": [st.params[0]] * pool_len,
+            }
+            payload, _ = ckpt.restore_payload(full_resume_dir, template, step)
+            st = payload["state"]
+            key = payload["key"]
+            pool = list(payload["pool"])
+            if "rng_state" in meta:
+                rng.bit_generator.state = meta["rng_state"]
+            start = step + 1
+
     history = []
-    for i in range(config.iterations):
+    for i in range(start, config.iterations):
         params = list(st.params)
         opts = list(st.opt_states)
         envs = list(st.env_states)
@@ -392,4 +419,16 @@ def train(config: PPOConfig = PPOConfig(), logger=None):
         history.append(record)
         if logger is not None:
             logger.log(record)
+        if full_resume_dir is not None:
+            from gobblet_rl_tpu.train import checkpoint as ckpt
+
+            ckpt.save_payload(
+                full_resume_dir,
+                {"state": st, "key": key, "pool": pool},
+                i,
+                meta={
+                    "pool_len": len(pool),
+                    "rng_state": rng.bit_generator.state,
+                },
+            )
     return st, history

@@ -178,3 +178,29 @@ def test_alphazero_learns_vs_random():
     res = tournament.play_match(pol, tournament.random_policy(),
                                 num_games=32, seed=0)
     assert res["win_rate"] > 0.9, res
+
+
+def test_az_full_resume_preemption_equivalence(tmp_path):
+    """Round-4 checkpoint parity: an AZ run preempted after 2 of 4
+    iterations and resumed via full_resume_dir (AZState + PRNG key)
+    reproduces the uninterrupted run bit-for-bit."""
+    import dataclasses
+
+    config = tiny_config(iterations=4, num_sims=6, segment_len=8,
+                         temp_moves=2, batch_size=16, updates_per_iter=1)
+    _, straight, _ = az.train(config)
+
+    d = str(tmp_path / "az_resume")
+    az.train(dataclasses.replace(config, iterations=2), full_resume_dir=d)
+    _, resumed, hist = az.train(config, full_resume_dir=d)
+    assert len(hist) == 2  # only iterations 2..3 ran after the restore
+    same = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        straight.params, resumed.params,
+    )
+    assert all(jax.tree.leaves(same))
+    same_env = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        straight.env_state, resumed.env_state,
+    )
+    assert all(jax.tree.leaves(same_env))

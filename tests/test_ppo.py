@@ -111,3 +111,29 @@ def test_ppo_improves_vs_random():
         w = np.asarray(winner)
         wins += int((w == 1).sum()); lose += int((w == -1).sum())
     assert wins / max(wins + lose, 1) > 0.8, (wins, lose)
+
+
+def test_ppo_full_resume_preemption_equivalence(tmp_path):
+    """Round-4 checkpoint parity: a league PPO run preempted after 2 of 4
+    iterations and resumed via full_resume_dir reproduces the uninterrupted
+    run bit-for-bit — including the host-side opponent-draw RNG and the
+    league snapshot pool, the two pieces a params-only checkpoint loses."""
+    import dataclasses
+
+    import jax
+
+    base = ppo.PPOConfig(num_envs=32, segment_len=8, iterations=4,
+                         minibatches=2, epochs_per_iter=1,
+                         shared_policy=True, opponent="mixed",
+                         learner_player="both", pool_every=2, pool_size=2)
+    straight, _ = ppo.train(base)
+
+    d = str(tmp_path / "ppo_resume")
+    ppo.train(dataclasses.replace(base, iterations=2), full_resume_dir=d)
+    resumed, hist = ppo.train(base, full_resume_dir=d)
+    assert len(hist) == 2  # only iterations 2..3 ran after the restore
+    same = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        straight.params[0], resumed.params[0],
+    )
+    assert all(jax.tree.leaves(same))
