@@ -109,6 +109,26 @@ def shard_batch_dp(batch, mesh: Mesh):
     )
 
 
+def place_dp_tp(train_state, optimizer, mesh: Mesh):
+    """Place a ``(params, opt_state, env_state)`` training state for a DP×TP
+    run of the UNCHANGED jitted train iteration of a real family (used with
+    train/alphazero.py's conv net; tests/test_sharding.py verifies the
+    tensor-parallel update numerics against the replicated update on
+    identical data).  Params (and a freshly initialized optimizer state,
+    which inherits their placement) shard Megatron-style over MODEL_AXIS;
+    the lane-major env batch shards over ENV_AXIS; GSPMD propagates both
+    through the whole self-play + update program and inserts the
+    collectives."""
+    from gobblet_rl_tpu.parallel.mesh import shard_env_state
+
+    tp_params = shard_params_tp(train_state.params, mesh)
+    return train_state._replace(
+        params=tp_params,
+        opt_state=optimizer.init(tp_params),
+        env_state=shard_env_state(train_state.env_state, mesh),
+    )
+
+
 def make_tp_train_step(net, optimizer, mesh: Mesh):
     """jit'd DP×TP supervised Q-regression step: batch sharded over ``env``,
     params sharded over ``model``; gradients/updates inherit the param

@@ -245,26 +245,17 @@ def flatten_segment(traj, z, valid):
     }
 
 
-def make_train_iteration(config: AZConfig, net, optimizer):
-    segment = make_selfplay_segment(config, net)
+def make_update_phase(config: AZConfig, net, optimizer):
+    """Minibatched SGD over a flat self-play batch — the learn half of an
+    iteration, exposed separately so the DP×TP path
+    (parallel/tensor_parallel.py::shard_params_tp + tests/test_sharding.py)
+    can verify tensor-parallel numerics against the replicated update on
+    identical data.  ``(params, opt_state, flat, k_perm) ->
+    (params, opt_state, (losses, p_ls, v_ls))``."""
     loss_fn = make_loss_fn(config, net)
 
-    @jax.jit
-    def train_iteration(params, opt_state, env_state, key):
-        key, k_roll, k_perm = jax.random.split(key, 3)
-        env_state, traj = segment(params, env_state, k_roll)
-        bootstrap = (
-            traj["v_signed"]
-            if config.bootstrap_unfinished and "v_signed" in traj
-            else None
-        )
-        z, valid = assign_outcomes(
-            traj["done"], traj["winner"], traj["player"], bootstrap
-        )
-
-        L, B = z.shape
-        n = L * B
-        flat = flatten_segment(traj, z, valid)
+    def update_phase(params, opt_state, flat, k_perm):
+        n = flat["z"].shape[0]
         mb = max(1, min(config.batch_size, n // max(config.updates_per_iter, 1)))
         perm = jax.random.permutation(k_perm, n)
 
@@ -279,8 +270,34 @@ def make_train_iteration(config: AZConfig, net, optimizer):
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, p_l, v_l)
 
-        (params, opt_state), (losses, p_ls, v_ls) = jax.lax.scan(
+        (params, opt_state), aux = jax.lax.scan(
             update, (params, opt_state), jnp.arange(config.updates_per_iter)
+        )
+        return params, opt_state, aux
+
+    return update_phase
+
+
+def make_train_iteration(config: AZConfig, net, optimizer):
+    segment = make_selfplay_segment(config, net)
+    update_phase = make_update_phase(config, net, optimizer)
+
+    @jax.jit
+    def train_iteration(params, opt_state, env_state, key):
+        key, k_roll, k_perm = jax.random.split(key, 3)
+        env_state, traj = segment(params, env_state, k_roll)
+        bootstrap = (
+            traj["v_signed"]
+            if config.bootstrap_unfinished and "v_signed" in traj
+            else None
+        )
+        z, valid = assign_outcomes(
+            traj["done"], traj["winner"], traj["player"], bootstrap
+        )
+
+        flat = flatten_segment(traj, z, valid)
+        params, opt_state, (losses, p_ls, v_ls) = update_phase(
+            params, opt_state, flat, k_perm
         )
         stats = {
             "loss": losses.mean(),
