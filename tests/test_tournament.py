@@ -1,6 +1,7 @@
 """Tournament tool: match mechanics, strength ordering, determinism."""
 
 import jax
+import pytest
 import numpy as np
 
 from gobblet_rl_tpu.env import vector
@@ -68,3 +69,62 @@ def test_tournament_cli_dqn_checkpoint(tmp_path):
     assert set(res["standings"]) == {"random", "dqn"}
     pair = res["pairs"]["random vs dqn"]
     assert pair["games"] == 8
+
+
+def test_defense_audit_mistake_logic_with_stub_solver():
+    """Unit test of the defense-audit grading (no native solver): a stub
+    whose distances make every agent move a provable mistake flags every
+    game at the agent's first move (absolute ply 2), and a stub that always
+    reports optimal decay (d-1) yields a fully clean audit."""
+    from gobblet_rl_tpu.eval import tournament
+
+    agent = tournament.random_policy()
+    fake_oracle = tournament.random_policy()
+
+    def always_mistake(board27, player):
+        return True, (9 if player == 1 else 3)  # d_after 3 < d_before 9 - 1
+
+    res = tournament.defense_audit(
+        agent, num_games=4, seed=0, max_plies=8,
+        solve_fn=always_mistake, oracle_policy=fake_oracle,
+    )
+    assert res["clean_game_frac"] == 0.0
+    assert res["mean_first_mistake_ply"] == 2.0
+    assert res["mistakes_per_game"] >= 1.0
+
+    def always_optimal(board27, player):
+        return True, (9 if player == 1 else 8)  # exactly d_before - 1
+
+    res2 = tournament.defense_audit(
+        agent, num_games=4, seed=0, max_plies=8,
+        solve_fn=always_optimal, oracle_policy=fake_oracle,
+    )
+    assert res2["clean_game_frac"] == 1.0
+    assert res2["mean_first_mistake_ply"] is None
+    assert res2["mistakes_per_game"] == 0.0
+
+
+@pytest.mark.slow
+def test_defense_audit_discriminates_with_real_solver():
+    """With the real oracle: the solver defending against itself survives
+    the full theoretical 13 plies with zero provable mistakes, while a
+    random defender both dies sooner on average and commits provable
+    mistakes — the gradient the plain forced-loss rate cannot show."""
+    from gobblet_rl_tpu.eval import tournament
+    from gobblet_rl_tpu.native import engine
+
+    if not engine.available():
+        pytest.skip("native engine unavailable")
+
+    perfect = tournament.defense_audit(
+        tournament.solver_policy(depth=16), num_games=4, seed=1, depth=16,
+    )
+    assert perfect["clean_game_frac"] == 1.0
+    assert perfect["mean_plies_survived"] == 13.0
+
+    rand = tournament.defense_audit(
+        tournament.random_policy(), num_games=8, seed=1, depth=16,
+    )
+    assert rand["mean_plies_survived"] <= perfect["mean_plies_survived"]
+    assert rand["mistakes_per_game"] > 0 or rand["mean_plies_survived"] < 13.0
+    engine.solve_tt_clear()
