@@ -56,13 +56,16 @@ PEAK_HBM_BYTES = 819e9
 BATCH = int(os.environ.get("GOBBLET_BENCH_BATCH", str(524288)))
 STEPS = int(os.environ.get("GOBBLET_BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("GOBBLET_BENCH_REPEATS", "5"))
-TRAIN_ENVS = int(os.environ.get("GOBBLET_BENCH_TRAIN_ENVS", str(16384)))
+# Defaults sit at each family's measured throughput optimum from the
+# round-4 env-count sweep (docs/sweeps/sweep_r4.jsonl; knees recorded in
+# docs/RESULTS.md): DQN 262,144 envs, PPO 8,192, AZ 1,024.
+TRAIN_ENVS = int(os.environ.get("GOBBLET_BENCH_TRAIN_ENVS", str(262144)))
 # AZ search is ~num_sims x heavier per env-step than DQN/PPO; scale its env
 # count (and the CPU smoke test's) independently of TRAIN_ENVS.
-AZ_ENVS = int(os.environ.get("GOBBLET_BENCH_AZ_ENVS", "512"))
+AZ_ENVS = int(os.environ.get("GOBBLET_BENCH_AZ_ENVS", "1024"))
 AZ_SIMS = int(os.environ.get("GOBBLET_BENCH_AZ_SIMS", "32"))
 AZ_SEGMENT = int(os.environ.get("GOBBLET_BENCH_AZ_SEGMENT", "48"))
-PPO_ENVS = int(os.environ.get("GOBBLET_BENCH_PPO_ENVS", "2048"))
+PPO_ENVS = int(os.environ.get("GOBBLET_BENCH_PPO_ENVS", "8192"))
 PPO_SEGMENT = int(os.environ.get("GOBBLET_BENCH_PPO_SEGMENT", "32"))
 
 

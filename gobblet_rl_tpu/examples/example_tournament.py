@@ -21,7 +21,8 @@ def get_parser() -> argparse.ArgumentParser:
         "--agents", type=str, nargs="*",
         default=["random", "greedy-1", "greedy-2", "alphabeta-4"],
         help="any of: random, greedy-D (batched jax greedy at depth D), "
-        "alphabeta-D (native expert at depth D)")
+        "alphabeta-D (native expert at depth D), solver-D (exact oracle "
+        "at solve depth D; D >= 13 is perfect play)")
     parser.add_argument("--az-checkpoint", type=str, default=None,
                         help="add an 'alphazero' entry from an Orbax "
                         "checkpoint dir (train/checkpoint.py)")
@@ -61,6 +62,8 @@ def build_policy(name: str):
         return tournament.greedy_policy(int(name.split("-")[1]))
     if name.startswith("alphabeta-"):
         return tournament.alphabeta_policy(int(name.split("-")[1]))
+    if name.startswith("solver-"):
+        return tournament.solver_policy(int(name.split("-")[1]))
     raise SystemExit(f"unknown agent {name!r}")
 
 
