@@ -301,6 +301,60 @@ def test_sharded_step_structural_audit(mesh8):
     assert ts_leaves and all("replicated" in ps[k]["sharding"] for k in ts_leaves)
 
 
+def test_sharded_az_ppo_structural_audit(mesh8):
+    """Same structural guarantees for the other two families' shard_map
+    steps: no batch-axis collectives (all-gather/all-to-all), gradient
+    all-reduces bounded by parameter size (+ scalar stat reductions), and
+    the env batch physically partitioned at entry."""
+    from gobblet_rl_tpu.parallel import hlo_audit as ha
+    from gobblet_rl_tpu.parallel import sharded_alphazero, sharded_ppo
+    from gobblet_rl_tpu.train import alphazero as az
+    from gobblet_rl_tpu.train import ppo
+
+    az_cfg = az.AZConfig(
+        num_envs=16, num_sims=4, segment_len=4, temp_moves=2,
+        batch_size=16, updates_per_iter=2, model="mlp", hidden_sizes=(16,),
+    )
+    net, optimizer, st = az.init_alphazero(az_cfg, jax.random.PRNGKey(0))
+    env_state = mesh_mod.shard_env_state(st.env_state, mesh8)
+    it = sharded_alphazero.make_sharded_az_iteration(az_cfg, net, optimizer, mesh8)
+    txt = it.lower(st.params, st.opt_state, env_state,
+                   jax.random.PRNGKey(1)).compile().as_text()
+    census = ha.collective_census(txt)
+    assert {c["op"] for c in census} <= {"all-reduce"}, census
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(st.params)
+    )
+    total = sum(c["bytes"] for c in census)
+    assert 0 < total <= 2 * az_cfg.updates_per_iter * param_bytes + 65536, (
+        total, param_bytes,
+    )
+    ps = ha.entry_params(txt)
+    assert ha.is_partitioned(ps["env_state.board"])
+    assert ps["env_state.board"]["dims"] == (3, 9, az_cfg.num_envs // 8)
+
+    ppo_cfg = ppo.PPOConfig(
+        num_envs=32, segment_len=8, minibatches=2, epochs_per_iter=2,
+        hidden_sizes=(32, 32), model="mlp",
+    )
+    net_p, opt_p, st_p = ppo.init_ppo(ppo_cfg, jax.random.PRNGKey(0))
+    it_p = sharded_ppo.make_sharded_ppo_iteration(ppo_cfg, net_p, opt_p, mesh8)
+    env_p = mesh_mod.shard_env_state(st_p.env_states[0], mesh8)
+    txt_p = it_p.lower(
+        st_p.params[0], st_p.params[1], st_p.opt_states[0], env_p,
+        jax.random.PRNGKey(1), 0,
+    ).compile().as_text()
+    census_p = ha.collective_census(txt_p)
+    assert {c["op"] for c in census_p} <= {"all-reduce"}, census_p
+    pb = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(st_p.params[0]))
+    total_p = sum(c["bytes"] for c in census_p)
+    grad_steps = ppo_cfg.epochs_per_iter * ppo_cfg.minibatches
+    assert 0 < total_p <= 2 * grad_steps * pb + 65536, (total_p, pb)
+    ps_p = ha.entry_params(txt_p)
+    assert ha.is_partitioned(ps_p["env_state.board"])
+    assert ps_p["env_state.board"]["dims"] == (3, 9, ppo_cfg.num_envs // 8)
+
+
 def test_structural_audit_catches_replicated_buffer(mesh8, monkeypatch):
     """Done-criterion for the audit: flip the replay-buffer specs to
     replicated (the silent regression a throughput floor misses — it
