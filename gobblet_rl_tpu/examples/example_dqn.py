@@ -60,6 +60,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="the learned agent plays as the agent_id-th player")
     parser.add_argument("--resume-path", type=str, default="")
     parser.add_argument("--opponent-path", type=str, default="")
+    parser.add_argument("--full-resume-dir", type=str, default="",
+                        help="exact preemption resume: checkpoints params + "
+                        "optimizer + env batch + replay ring + PRNG every "
+                        "epoch; an interrupted run relaunched with the same "
+                        "flags continues bit-exactly")
     parser.add_argument("--zoo", type=str, default="",
                         help="watch/play with a committed zoo entry (e.g. "
                         "dqn_greedy) instead of --resume-path")
@@ -128,7 +133,9 @@ def train_agent(args):
             config, opponent="greedy" if args.self_play_greedy else "self"
         )
     ts, history = dqn.train(config, logger=logger, generations=generations,
-                            checkpoint_dir=os.path.join(args.logdir, "gobblet_rl_tpu", "dqn", "ckpt"))
+                            checkpoint_dir=os.path.join(args.logdir, "gobblet_rl_tpu", "dqn", "ckpt"),
+                            full_resume_dir=(getattr(args, "full_resume_dir", "")
+                                             or None))
     best = max(h["win_rate"] for h in history)
     print(f"best eval win-rate: {best:.3f} (target {args.win_rate})")
     return ts, history
