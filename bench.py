@@ -62,9 +62,12 @@ REPEATS = int(os.environ.get("GOBBLET_BENCH_REPEATS", "5"))
 TRAIN_ENVS = int(os.environ.get("GOBBLET_BENCH_TRAIN_ENVS", str(262144)))
 # AZ search is ~num_sims x heavier per env-step than DQN/PPO; scale its env
 # count (and the CPU smoke test's) independently of TRAIN_ENVS.
-AZ_ENVS = int(os.environ.get("GOBBLET_BENCH_AZ_ENVS", "1024"))
+AZ_ENVS = int(os.environ.get("GOBBLET_BENCH_AZ_ENVS", "2048"))
 AZ_SIMS = int(os.environ.get("GOBBLET_BENCH_AZ_SIMS", "32"))
 AZ_SEGMENT = int(os.environ.get("GOBBLET_BENCH_AZ_SEGMENT", "48"))
+# "gumbel_lm" (lane-major tree, search/gumbel_lm.py — 4.6x the vmapped
+# batch-first tree at its own knee, measured round 4) | "gumbel" (vmapped)
+AZ_SEARCH = os.environ.get("GOBBLET_BENCH_AZ_SEARCH", "gumbel_lm")
 PPO_ENVS = int(os.environ.get("GOBBLET_BENCH_PPO_ENVS", "8192"))
 PPO_SEGMENT = int(os.environ.get("GOBBLET_BENCH_PPO_SEGMENT", "32"))
 
@@ -221,7 +224,7 @@ def bench_az_train() -> dict:
     from gobblet_rl_tpu.train import alphazero
 
     config = alphazero.AZConfig(
-        search="gumbel", num_sims=AZ_SIMS, num_envs=AZ_ENVS,
+        search=AZ_SEARCH, num_sims=AZ_SIMS, num_envs=AZ_ENVS,
         segment_len=AZ_SEGMENT, model="conv",
         batch_size=min(2048, AZ_ENVS * AZ_SEGMENT),
     )
@@ -251,6 +254,7 @@ def bench_az_train() -> dict:
         "sims_per_sec": round(iters * moves_per_iter * config.num_sims / dt, 1),
         "num_envs": config.num_envs,
         "num_sims": config.num_sims,
+        "search": AZ_SEARCH,
     }
     result = roofline(result, cost, iters / dt)
     log(

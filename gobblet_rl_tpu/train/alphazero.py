@@ -53,7 +53,9 @@ class AZConfig:
     num_envs: int = 256
     num_sims: int = 64
     search: str = "puct"   # "puct" | "gumbel" (sequential halving; needs
-                           # fewer sims per move — see search/gumbel.py)
+                           # fewer sims per move — see search/gumbel.py) |
+                           # "gumbel_lm" (same algorithm, lane-major tree —
+                           # see search/gumbel_lm.py; fastest at scale)
     max_considered: int = 16   # gumbel: initial root candidate count
     c_puct: float = 1.5
     dirichlet_alpha: float = 0.5
@@ -99,7 +101,7 @@ def mcts_config(config: AZConfig, selfplay: bool = True) -> mcts.MCTSConfig:
 
 def make_selfplay_segment(config: AZConfig, net):
     """(params, env_state, key) -> (env_state, traj dict of [L, B, ...])."""
-    if config.search == "gumbel":
+    if config.search in ("gumbel", "gumbel_lm"):
         return _make_gumbel_segment(config, net)
     mcfg = mcts_config(config, selfplay=True)
 
@@ -155,14 +157,25 @@ def _make_gumbel_segment(config: AZConfig, net):
     def net_apply(p, obs):
         return net.apply(p, obs)
 
+    lane_major = config.search == "gumbel_lm"
+    if lane_major:
+        from gobblet_rl_tpu.search import gumbel_lm
+
     def segment(params, env_state, key):
         def body(carry, _):
             state, key = carry
             key, k_search = jax.random.split(key)
-            boards_bf = jnp.transpose(state.board, (2, 0, 1))
-            actions, pi, q, visits, root_v = gumbel.gumbel_search(
-                net_apply, params, boards_bf, state.current, k_search, gcfg
-            )
+            if lane_major:
+                actions, pi, q, visits, root_v = gumbel_lm.gumbel_search_lm(
+                    net_apply, params, state.board, state.current, k_search,
+                    gcfg,
+                )
+            else:
+                boards_bf = jnp.transpose(state.board, (2, 0, 1))
+                actions, pi, q, visits, root_v = gumbel.gumbel_search(
+                    net_apply, params, boards_bf, state.current, k_search,
+                    gcfg,
+                )
             mask = bc.legal_mask_planes(state.board, state.current).T
             obs = _obs_bf(state.board, state.current)
             player = state.current

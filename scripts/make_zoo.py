@@ -49,8 +49,11 @@ def make_alphazero(args):
     from gobblet_rl_tpu import zoo
     from gobblet_rl_tpu.train import alphazero
 
+    # gumbel_lm: same algorithm as "gumbel", lane-major tree — the whole
+    # recipe runs in ~6 min instead of ~16 with equal-or-better results
+    # (measured round 4: value loss 0.0015 vs 0.0064, 0.926 vs greedy-2)
     config = alphazero.AZConfig(
-        search="gumbel", num_sims=32, iterations=8 if args.quick else 100,
+        search="gumbel_lm", num_sims=32, iterations=8 if args.quick else 100,
         num_envs=64 if args.quick else 512, segment_len=48, temp_moves=8,
         model="conv", seed=args.seed,
     )
@@ -69,7 +72,8 @@ def make_alphazero(args):
         "net": {"model": "conv", "channels": config.channels,
                 "blocks": config.blocks},
         "eval": {"num_sims": 128},
-        "recipe": (f"scripts/make_zoo.py: AZConfig(search='gumbel', "
+        "recipe": (f"scripts/make_zoo.py: AZConfig(search="
+                   f"'{config.search}', "
                    f"num_sims=32, iterations={config.iterations}, "
                    f"num_envs={config.num_envs}, segment_len=48, "
                    f"model='conv', seed={args.seed})"),
