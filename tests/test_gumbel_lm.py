@@ -154,3 +154,29 @@ def test_gumbel_lm_strength_parity_with_vmapped(net_and_params):
     vm = gumbel.gumbel_policy(net, params, gumbel.GumbelConfig(num_sims=16))
     res = tournament.play_match(lm, vm, num_games=64, seed=0)
     assert 0.3 < res["win_rate"] < 0.7, res
+
+
+def test_sharded_az_iteration_with_gumbel_lm():
+    """The lane-major search composes with the shard_map DP step: the env
+    batch (and thus every tree array's lane axis) is sharded over the env
+    mesh axis with no code changes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gobblet_rl_tpu.parallel import mesh as mesh_mod
+    from gobblet_rl_tpu.parallel import sharded_alphazero
+    from gobblet_rl_tpu.train import alphazero as az
+
+    mesh = mesh_mod.make_mesh(8)
+    config = az.AZConfig(
+        num_envs=16, num_sims=6, segment_len=6, temp_moves=2,
+        search="gumbel_lm", max_considered=4, batch_size=32,
+        updates_per_iter=2, model="mlp", hidden_sizes=(16,),
+    )
+    net, optimizer, st = az.init_alphazero(config, jax.random.PRNGKey(0))
+    env_state = mesh_mod.shard_env_state(st.env_state, mesh)
+    it = sharded_alphazero.make_sharded_az_iteration(config, net, optimizer, mesh)
+    params, _, env_state, stats = it(
+        st.params, st.opt_state, env_state, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(stats["loss"]))
+    assert env_state.board.sharding.spec[-1] == mesh_mod.ENV_AXIS
