@@ -340,12 +340,21 @@ def init_alphazero(config: AZConfig, key):
     )
 
 
-def az_policy(net, params, num_sims: int = 128, c_puct: float = 1.5):
+def az_policy(net, params, num_sims: int = 128, c_puct: float = 1.5,
+              lane_major: bool = True):
     """Tournament-compatible evaluation policy: noise-free MCTS on the
-    trained network (see eval/tournament.py for the signature)."""
-    return mcts.mcts_policy(net, params, mcts.MCTSConfig(
-        num_sims=num_sims, c_puct=c_puct
-    ))
+    trained network (see eval/tournament.py for the signature).
+
+    ``lane_major=True`` (default) runs the search with the lane-major
+    tree (search/mcts_lm.py) — with root noise off both implementations
+    are deterministic and BIT-IDENTICAL for the same key (pinned in
+    tests/test_mcts_lm.py), so this only changes speed."""
+    cfg = mcts.MCTSConfig(num_sims=num_sims, c_puct=c_puct)
+    if lane_major:
+        from gobblet_rl_tpu.search import mcts_lm
+
+        return mcts_lm.mcts_lm_policy(net, params, cfg)
+    return mcts.mcts_policy(net, params, cfg)
 
 
 def train(config: AZConfig = AZConfig(), logger=None, checkpoint_dir=None,
