@@ -30,6 +30,13 @@ are certified rather than estimated.
 The reference has no search beyond the depth-3 greedy scan
 (/root/reference/gobblet_rl/game/greedy_policy.py:158-208); this module is
 beyond-parity capability.
+
+Performance note (round 4): this vmapped, batch-first-tree formulation is
+kept as the readable reference implementation; the lane-major twin
+:mod:`gobblet_rl_tpu.search.gumbel_lm` produces bit-identical trees under
+zeroed root noise and measures 4.6x faster at its knee (188k vs 41k
+moves/s at 32 sims on v5e) with no >1k-lane throughput cliff — training
+and benchmarks default to it (AZConfig(search="gumbel_lm")).
 """
 
 from __future__ import annotations

@@ -23,6 +23,13 @@ callable, e.g. :class:`gobblet_rl_tpu.models.actor_critic.MLPActorCritic`.
 With an untrained net the search still plays tactically (the tree proves
 short forced wins); with a trained net it is the strongest policy in the
 framework (see tests/test_mcts.py and the tournament tool).
+
+Performance note (round 4): this vmapped, batch-first-tree formulation is
+kept as the readable reference implementation; the lane-major twin
+:mod:`gobblet_rl_tpu.search.mcts_lm` produces bit-identical trees (PUCT
+without root noise is deterministic — no mocking needed to prove it) and
+inherits the layout that measured 4.6x on the Gumbel search;
+``alphazero.az_policy`` defaults to it.
 """
 
 from __future__ import annotations
