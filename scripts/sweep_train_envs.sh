@@ -37,6 +37,9 @@ run ppo GOBBLET_BENCH_PPO_ENVS=4096
 run ppo GOBBLET_BENCH_PPO_ENVS=8192
 run ppo GOBBLET_BENCH_PPO_ENVS=16384
 
+# AZ legs run the shipped default search (gumbel_lm since round 4; set
+# GOBBLET_BENCH_AZ_SEARCH=gumbel to sweep the vmapped tree). Measured
+# knees: gumbel_lm 2,048 envs (188k moves/s), vmapped 1,024 (41k).
 run az GOBBLET_BENCH_AZ_ENVS=512
 run az GOBBLET_BENCH_AZ_ENVS=1024
 run az GOBBLET_BENCH_AZ_ENVS=2048
