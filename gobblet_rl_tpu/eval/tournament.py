@@ -244,6 +244,7 @@ def defense_audit(
     first_mistake = np.full(num_games, -1, np.int32)
     mistakes = np.zeros(num_games, np.int32)
     unproven = 0
+    ungraded = np.zeros(num_games, bool)  # game contains an unproven position
 
     def boards27(state):
         # lane-major [3,9,B] -> per-game level-major int8[27] rows
@@ -266,6 +267,7 @@ def defense_audit(
                     d_before[g] = mate
                 else:  # pragma: no cover - depth too shallow to prove
                     unproven += 1
+                    ungraded[g] = True
             actions = policy(sub, state.board, state.current)
             state = bc.step_planes(state, actions)
             done_now = np.asarray(state.done)
@@ -279,6 +281,7 @@ def defense_audit(
                     proven, mate = solve_fn(after[g], 0)
                     if not proven or mate is None:  # pragma: no cover
                         unproven += 1
+                        ungraded[g] = True
                         continue
                     d_after = mate
                 if d_after < d_before[g] - 1:
@@ -290,6 +293,12 @@ def defense_audit(
     # per-game survival length (undecided games sit at the ply cap)
     lengths = np.asarray(state.turn)
     with_mistake = first_mistake[first_mistake > 0]
+    # a game is "clean" only if EVERY defensive move in it was graded and
+    # none was a mistake — games containing unproven positions cannot claim
+    # a clean defense (they'd bias clean_game_frac upward at shallow solve
+    # depths; round-4 advisor finding) and are reported separately
+    graded = ~ungraded
+    clean = (first_mistake < 0) & graded
     return {
         "games": num_games,
         "mean_plies_survived": float(lengths.mean()),
@@ -298,7 +307,8 @@ def defense_audit(
         "mean_first_mistake_ply": (
             float(with_mistake.mean()) if with_mistake.size else None
         ),
-        "clean_game_frac": float((first_mistake < 0).mean()),
+        "clean_game_frac": float(clean.sum() / max(int(graded.sum()), 1)),
+        "ungraded_games": int(ungraded.sum()),
         "mistakes_per_game": float(mistakes.mean()),
         "unproven_positions": unproven,
     }

@@ -62,9 +62,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--opponent-path", type=str, default="")
     parser.add_argument("--full-resume-dir", type=str, default="",
                         help="exact preemption resume: checkpoints params + "
-                        "optimizer + env batch + replay ring + PRNG every "
-                        "epoch; an interrupted run relaunched with the same "
-                        "flags continues bit-exactly")
+                        "optimizer + env batch + replay ring + PRNG + the "
+                        "epoch counter and opponent-draw RNG every epoch; an "
+                        "interrupted run relaunched with the same flags "
+                        "continues the epoch schedule bit-exactly")
     parser.add_argument("--zoo", type=str, default="",
                         help="watch/play with a committed zoo entry (e.g. "
                         "dqn_greedy) instead of --resume-path")

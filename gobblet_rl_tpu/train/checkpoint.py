@@ -82,13 +82,21 @@ def save_payload(directory: str, payload, step: int, meta: dict | None = None) -
     train/ppo.py) — the working equivalent of the reference's restore
     sketch (/root/reference/gobblet_rl/examples/example_RLlib.py:93-108)."""
     mgr = _manager(directory)
+    if meta is not None:
+        # Written (atomically, tmp+rename) BEFORE the Orbax commit: a
+        # preemption between the two leaves a meta file for a step that
+        # latest_step() never reports — harmless — whereas the reverse
+        # order left a restorable checkpoint whose host-side state (RNG,
+        # pool length) was silently lost, breaking the bit-exact resume
+        # guarantee (round-4 advisor finding).
+        path = os.path.join(os.path.abspath(directory), f"meta-{step}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
     mgr.save(step, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()
-    if meta is not None:
-        path = os.path.join(os.path.abspath(directory), f"meta-{step}.json")
-        with open(path, "w") as f:
-            json.dump(meta, f)
 
 
 def latest_step(directory: str):

@@ -350,7 +350,12 @@ def train(
 
     ``full_resume_dir`` saves/restores the COMPLETE actor-learner state
     (params + optimizer + env batch + replay buffer + PRNG key) each epoch,
-    so an interrupted run continues exactly where it stopped."""
+    plus a meta sidecar with the epoch counter and the host-side mixed-
+    opponent RNG state — a run preempted mid-way and relaunched with the
+    same flags continues the generations/epoch schedule exactly where it
+    stopped and reproduces the uninterrupted run bit-for-bit (same
+    discipline as alphazero.train / ppo.train; pinned by
+    tests/test_aux_subsystems.py)."""
     import dataclasses
 
     net = make_net(config)
@@ -385,55 +390,74 @@ def train(
     env_state = init_env_state(config, opponent_fn, ts.opponent_params, k_env)
     buffer = replay.make_buffer(config.buffer_size)
 
+    start = 0  # flat epoch counter: e = gen * config.epoch + epoch
     if full_resume_dir is not None:
         from gobblet_rl_tpu.train import checkpoint as ckpt
 
-        restored, step = ckpt.restore_full(full_resume_dir, ts, env_state, buffer, key)
+        template = {
+            "train_state": ts, "env_state": env_state,
+            "buffer": buffer, "key": key,
+        }
+        restored, step = ckpt.restore_payload(full_resume_dir, template)
         if restored is not None:
             ts = restored["train_state"]
             env_state = restored["env_state"]
             buffer = restored["buffer"]
             key = restored["key"]
+            start = step + 1
+            meta = ckpt.load_meta(full_resume_dir, step)
+            if meta is None:
+                raise RuntimeError(
+                    f"checkpoint step {step} in {full_resume_dir!r} has no "
+                    f"meta-{step}.json sidecar — cannot resume bit-exactly"
+                )
+            rng_mix.bit_generator.state = meta["rng_mix_state"]
 
     history = []
-    for gen in range(generations):
-        for epoch in range(config.epoch):
-            losses = []
-            for _ in range(config.step_per_epoch):
-                key, sub = jax.random.split(key)
-                ts, env_state, buffer, key, loss = pick_iteration()(
-                    ts, env_state, buffer, sub
-                )
-                losses.append(loss)  # device scalar; sync once per epoch
-            losses = [float(x) for x in jax.device_get(losses)]
-            key, k_eval = jax.random.split(key)
-            w, l, other = evaluate(ts.params, ts.opponent_params, k_eval)
-            w, l, other = int(w), int(l), int(other)
-            win_rate = w / max(w + l + other, 1)
-            record = {
-                "generation": gen,
-                "epoch": epoch,
-                "loss": float(np.mean(losses)),
-                "win_rate": win_rate,
-                "wins": w,
-                "losses_games": l,
-                "other": other,
-                "grad_steps": int(ts.grad_steps),
-            }
-            history.append(record)
-            if logger is not None:
-                logger.log(record)
-            if checkpoint_dir is not None:
-                from gobblet_rl_tpu.train import checkpoint as ckpt
+    for e in range(start, generations * config.epoch):
+        gen, epoch = divmod(e, config.epoch)
+        losses = []
+        for _ in range(config.step_per_epoch):
+            key, sub = jax.random.split(key)
+            ts, env_state, buffer, key, loss = pick_iteration()(
+                ts, env_state, buffer, sub
+            )
+            losses.append(loss)  # device scalar; sync once per epoch
+        losses = [float(x) for x in jax.device_get(losses)]
+        key, k_eval = jax.random.split(key)
+        w, l, other = evaluate(ts.params, ts.opponent_params, k_eval)
+        w, l, other = int(w), int(l), int(other)
+        win_rate = w / max(w + l + other, 1)
+        record = {
+            "generation": gen,
+            "epoch": epoch,
+            "loss": float(np.mean(losses)),
+            "win_rate": win_rate,
+            "wins": w,
+            "losses_games": l,
+            "other": other,
+            "grad_steps": int(ts.grad_steps),
+        }
+        history.append(record)
+        if logger is not None:
+            logger.log(record)
+        # self-play generation hand-off (deepcopy equivalent) — BEFORE the
+        # resume point is written, so a relaunch after the last epoch of a
+        # generation sees the handed-off opponent
+        if epoch == config.epoch - 1:
+            ts = ts._replace(opponent_params=ts.params)
+        if checkpoint_dir is not None:
+            from gobblet_rl_tpu.train import checkpoint as ckpt
 
-                ckpt.save(checkpoint_dir, ts, step=int(ts.grad_steps))
-            if full_resume_dir is not None:
-                from gobblet_rl_tpu.train import checkpoint as ckpt
+            ckpt.save(checkpoint_dir, ts, step=int(ts.grad_steps))
+        if full_resume_dir is not None:
+            from gobblet_rl_tpu.train import checkpoint as ckpt
 
-                ckpt.save_full(
-                    full_resume_dir, ts, env_state, buffer, key,
-                    step=int(ts.grad_steps),
-                )
-        # self-play generation hand-off (deepcopy equivalent)
-        ts = ts._replace(opponent_params=ts.params)
+            ckpt.save_payload(
+                full_resume_dir,
+                {"train_state": ts, "env_state": env_state,
+                 "buffer": buffer, "key": key},
+                step=e,
+                meta={"rng_mix_state": rng_mix.bit_generator.state},
+            )
     return ts, history

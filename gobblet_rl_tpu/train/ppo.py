@@ -358,7 +358,16 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
 
         step = ckpt.latest_step(full_resume_dir)
         if step is not None:
-            meta = ckpt.load_meta(full_resume_dir, step) or {}
+            meta = ckpt.load_meta(full_resume_dir, step)
+            if meta is None:
+                # save_payload writes meta before the Orbax commit, so a
+                # restorable step without meta means a damaged/foreign dir;
+                # silently guessing pool_len / skipping rng_state would break
+                # the documented bit-exact resume guarantee.
+                raise RuntimeError(
+                    f"checkpoint step {step} in {full_resume_dir!r} has no "
+                    f"meta-{step}.json sidecar — cannot resume bit-exactly"
+                )
             pool_len = int(meta.get("pool_len", len(pool)))
             template = {
                 "state": st, "key": key,
