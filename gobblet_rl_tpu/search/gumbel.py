@@ -119,8 +119,14 @@ def _mixed_value(v_hat, q, n, priors, legal):
 
 
 def gumbel_search_single(net_apply, params, board, player, key,
-                         config: GumbelConfig):
-    """One root; returns (action, pi_target[54], root_q[54], visits[54])."""
+                         config: GumbelConfig, noise=None):
+    """One root; returns (action, pi_target[54], root_q[54], visits[54]).
+
+    ``noise`` (f32[54], optional) substitutes a pre-drawn root Gumbel
+    sample for the internal draw — the two search implementations use
+    different key disciplines (per-lane split here vs one [54,B] field in
+    gumbel_lm), so bit-equivalence with noise ON is only testable through a
+    shared tensor (tests/test_gumbel_lm.py)."""
     M = config.num_sims + 1
     phase_np = _phase_table(config.num_sims, config.max_considered)
     counts_np = _considered_counts(config.max_considered, int(phase_np[-1]) + 1)
@@ -146,7 +152,7 @@ def gumbel_search_single(net_apply, params, board, player, key,
     legal = legal.at[0].set(mask0)
 
     # root Gumbel scores over legal actions; initial considered set = top-m
-    g = jax.random.gumbel(key, (54,), jnp.float32)
+    g = noise if noise is not None else jax.random.gumbel(key, (54,), jnp.float32)
     logp0 = jnp.where(mask0, jnp.log(jnp.maximum(priors0, 1e-12)), -jnp.inf)
     base_score = jnp.where(mask0, g + logp0, -jnp.inf)
     m0 = counts_np[0]
@@ -299,16 +305,26 @@ def gumbel_search_single(net_apply, params, board, player, key,
 
 
 def gumbel_search(net_apply, params, boards_bf, players, key,
-                  config: GumbelConfig):
+                  config: GumbelConfig, noise=None):
     """vmapped search: boards_bf int8[B,3,9], players int32[B] ->
     (actions int32[B], pi f32[B,54], q f32[B,54], visits f32[B,54],
     root_value f32[B] — the mixed-value estimate from the mover's
-    perspective, used as a bootstrap target for unfinished games)."""
+    perspective, used as a bootstrap target for unfinished games).
+
+    ``noise`` (f32[B,54], optional) replaces the per-lane root Gumbel
+    draws with pre-drawn rows (see gumbel_search_single)."""
     keys = jax.random.split(key, boards_bf.shape[0])
+    if noise is None:
+        fn = jax.vmap(
+            lambda b, p, k: gumbel_search_single(net_apply, params, b, p, k, config)
+        )
+        return fn(boards_bf, players, keys)
     fn = jax.vmap(
-        lambda b, p, k: gumbel_search_single(net_apply, params, b, p, k, config)
+        lambda b, p, k, g: gumbel_search_single(
+            net_apply, params, b, p, k, config, noise=g
+        )
     )
-    return fn(boards_bf, players, keys)
+    return fn(boards_bf, players, keys, noise)
 
 
 def gumbel_policy(net, params, config: GumbelConfig = GumbelConfig()):

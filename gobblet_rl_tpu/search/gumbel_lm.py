@@ -141,12 +141,18 @@ def _apply_and_winner_lm(board, player, action):
 # the search
 # ---------------------------------------------------------------------------
 def gumbel_search_lm(net_apply, params, board_lm, players, key,
-                     config: GumbelConfig):
+                     config: GumbelConfig, noise=None):
     """Batched search over lane-major roots.
 
     board_lm int8[3, 9, B], players int32[B] ->
     (actions int32[B], pi f32[B, 54], q f32[B, 54], visits f32[B, 54],
     root_value f32[B]) — the same contract as gumbel.gumbel_search.
+
+    ``noise`` (f32[54, B], optional) substitutes a pre-drawn root Gumbel
+    field for the internal single [54,B] draw, enabling the with-noise
+    bit-equivalence test against the vmapped search (whose internal
+    discipline — one split key per lane — draws different values for the
+    same top-level key).
     """
     B = players.shape[0]
     M = config.num_sims + 1
@@ -173,7 +179,7 @@ def gumbel_search_lm(net_apply, params, board_lm, players, key,
     V = V.at[0].set(value0)
     legal = legal.at[0].set(mask0)
 
-    g = jax.random.gumbel(key, (A, B), jnp.float32)
+    g = noise if noise is not None else jax.random.gumbel(key, (A, B), jnp.float32)
     logp0 = jnp.where(mask0, jnp.log(jnp.maximum(priors0, 1e-12)), -jnp.inf)
     base_score = jnp.where(mask0, g + logp0, -jnp.inf)
     considered0 = mask0 & _top_k_mask_lm(base_score, counts_np[0])

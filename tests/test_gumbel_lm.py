@@ -70,6 +70,50 @@ def test_gumbel_lm_bit_identical_to_vmapped_under_zero_noise(
     )
 
 
+def test_gumbel_lm_bit_identical_to_vmapped_with_real_noise(net_and_params):
+    """Round-4 verdict item 7: the equivalence claim must cover the one
+    stochastic input.  With REAL (nonzero) Gumbel noise fed to both
+    implementations as one shared pre-drawn tensor — the two internal key
+    disciplines necessarily differ, so the shared tensor is the only way to
+    align them — the trees must again be bit-identical: the noise path
+    (considered-set seeding by g+logp, halving and final selection by
+    g+logp+sigma) is exercised for real, and a lane-major divergence in any
+    of those terms fails this test."""
+    net, params = net_and_params
+
+    def net_apply(p, obs):
+        return net.apply(p, obs)
+
+    state = _random_midgame(B=24, plies=7, seed=5)
+    boards_bf = jnp.transpose(state.board, (2, 0, 1))
+    cfg = gumbel.GumbelConfig(num_sims=12, max_considered=8)
+
+    g = jax.random.gumbel(jax.random.PRNGKey(11), (24, 54), jnp.float32)
+    a1, pi1, q1, v1, rv1 = gumbel.gumbel_search(
+        net_apply, params, boards_bf, state.current, jax.random.PRNGKey(7),
+        cfg, noise=g,
+    )
+    a2, pi2, q2, v2, rv2 = gumbel_lm.gumbel_search_lm(
+        net_apply, params, state.board, state.current, jax.random.PRNGKey(7),
+        cfg, noise=g.T,
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(pi1), np.asarray(pi2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rv1), np.asarray(rv2), atol=1e-6)
+    vis = np.asarray(v1) > 0
+    np.testing.assert_allclose(
+        np.asarray(q1)[vis], np.asarray(q2)[vis], atol=1e-6
+    )
+    # the noise actually mattered: zero-noise trees pick different actions
+    # somewhere in the batch (guards against a silently ignored tensor)
+    a0, *_ = gumbel.gumbel_search(
+        net_apply, params, boards_bf, state.current, jax.random.PRNGKey(7),
+        cfg, noise=jnp.zeros((24, 54), jnp.float32),
+    )
+    assert (np.asarray(a0) != np.asarray(a1)).any()
+
+
 def test_gumbel_lm_finds_immediate_win(net_and_params):
     net, params = net_and_params
     b = rules_np.empty_board()
