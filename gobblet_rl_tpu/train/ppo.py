@@ -68,12 +68,23 @@ class PPOConfig:
     #   "random" — uniform over legal moves
     #   "greedy" — batched depth-``greedy_depth`` lookahead
     #   "pool"   — uniform draw from a league of past snapshots
-    #   "mixed"  — per-iteration draw over (random, greedy, pool)
+    #   "search" — frozen committed AlphaZero zoo net driven by the
+    #              lane-major Gumbel search (search/gumbel_lm.py) at
+    #              ``search_sims`` simulations: a jittable ATTACKER that
+    #              actually converts won positions, giving the league the
+    #              punishing pressure greedy/pool lack (round-4 verdict:
+    #              ppo_league defended worse than random because no
+    #              training opponent ever executed a mate)
+    #   "mixed"  — per-iteration draw over (random, greedy, pool) with
+    #              3 mixed_weights, or (random, greedy, pool, search)
+    #              with 4
     opponent: str = "self"
     greedy_depth: int = 2
     pool_size: int = 8        # snapshots kept by the league
     pool_every: int = 4       # iterations between snapshot pushes
-    mixed_weights: tuple = (0.25, 0.25, 0.5)   # P(random, greedy, pool)
+    mixed_weights: tuple = (0.25, 0.25, 0.5)   # P(random, greedy, pool[, search])
+    search_sims: int = 8      # gumbel simulations of the "search" attacker
+    search_entry: str = "alphazero_gumbel32"   # zoo entry it plays with
 
     def __post_init__(self):
         # non-shared (alternating two-policy) mode is pure self-play; catch
@@ -84,6 +95,11 @@ class PPOConfig:
             raise ValueError(
                 "non-shared (alternating two-policy) mode is pure self-play; "
                 f"set shared_policy=True to use opponent={self.opponent!r}"
+            )
+        if self.opponent == "mixed" and len(self.mixed_weights) not in (3, 4):
+            raise ValueError(
+                "mixed_weights must have 3 entries (random, greedy, pool) or "
+                f"4 (+ search); got {self.mixed_weights!r}"
             )
 
 
@@ -101,7 +117,8 @@ def make_net(config: PPOConfig):
 
 def _resolve_kind(config: PPOConfig, kind: str | None) -> str:
     """Opponent kind actually compiled into a rollout: ``pool`` and ``mixed``
-    are host-level policies over the compiled (random|greedy|self) variants."""
+    are host-level policies over the compiled (random|greedy|self|search)
+    variants."""
     kind = kind if kind is not None else config.opponent
     return "self" if kind in ("self", "pool", "mixed") else kind
 
@@ -127,6 +144,30 @@ def make_opponent_fn(config: PPOConfig, net, kind: str | None = None):
             logits, _ = net.apply(opp_params, obs)
             action, _ = ac.sample_masked(key, logits, mask)
             return action
+
+    elif kind == "search":
+        # frozen zoo AlphaZero net + lane-major Gumbel search: the params
+        # are closed-over constants (opp_params is the LEARNER net's pytree
+        # and is ignored), so the attacker compiles straight into the
+        # rollout scan with no extra inputs
+        from gobblet_rl_tpu import zoo
+        from gobblet_rl_tpu.search import gumbel as gsearch
+        from gobblet_rl_tpu.search import gumbel_lm
+
+        az_net, az_params, _ = zoo.load(
+            config.search_entry, expect_family="alphazero"
+        )
+        gcfg = gsearch.GumbelConfig(
+            num_sims=config.search_sims,
+            max_considered=min(16, max(2, config.search_sims)),
+        )
+
+        def fn(key, board, current, opp_params):
+            actions, *_ = gumbel_lm.gumbel_search_lm(
+                lambda p, o: az_net.apply(p, o), az_params, board, current,
+                key, gcfg,
+            )
+            return actions
 
     else:
         raise ValueError(f"unknown opponent {kind!r}")
@@ -343,8 +384,12 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
 
     rng = np.random.default_rng(config.seed)
     if config.shared_policy:
-        kinds = (("random", "greedy", "self") if config.opponent == "mixed"
-                 else (_resolve_kind(config, None),))
+        if config.opponent == "mixed":
+            kinds = ("random", "greedy", "self")
+            if len(config.mixed_weights) == 4:
+                kinds = kinds + ("search",)
+        else:
+            kinds = (_resolve_kind(config, None),)
         its = {k: make_train_iteration(config, net, optimizer, k) for k in kinds}
         pool = [st.params[0]]  # league seed: the untrained net
     else:
@@ -391,8 +436,9 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
         if config.shared_policy:
             lp, role = config.learner_player, 0
             if config.opponent == "mixed":
-                kind = rng.choice(["random", "greedy", "pool"],
-                                  p=list(config.mixed_weights))
+                choices = ["random", "greedy", "pool", "search"]
+                choices = choices[: len(config.mixed_weights)]
+                kind = rng.choice(choices, p=list(config.mixed_weights))
             else:
                 kind = config.opponent
             if kind == "pool":
@@ -401,7 +447,7 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
             elif kind == "self":
                 opp_params = params[0]
             else:
-                opp_params = params[0]  # unused by random/greedy variants
+                opp_params = params[0]  # unused by random/greedy/search variants
         else:
             lp = role = i % 2
             kind = "self"

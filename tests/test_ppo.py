@@ -51,6 +51,46 @@ def test_train_iteration_smoke():
     assert history[0]["episodes"] > 0
 
 
+def test_search_opponent_iteration():
+    """The 'search' league leg (frozen zoo AZ net + gumbel_lm attacker,
+    round-5 defense fix) compiles into the jitted rollout and trains."""
+    from gobblet_rl_tpu import zoo
+
+    if "alphazero_gumbel32" not in zoo.names():
+        pytest.skip("no committed alphazero zoo entry")
+    config = ppo.PPOConfig(
+        shared_policy=True, learner_player="both", opponent="search",
+        search_sims=2, num_envs=8, segment_len=6, minibatches=2,
+        epochs_per_iter=1, iterations=2, hidden_sizes=(16,),
+    )
+    st, history = ppo.train(config)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert all(h["opponent"] == "search" for h in history)
+
+
+def test_mixed_league_with_search_weights():
+    """4-weight mixed league draws the search leg (seeded so it is hit)."""
+    from gobblet_rl_tpu import zoo
+
+    if "alphazero_gumbel32" not in zoo.names():
+        pytest.skip("no committed alphazero zoo entry")
+    config = ppo.PPOConfig(
+        shared_policy=True, learner_player="both", opponent="mixed",
+        mixed_weights=(0.0, 0.0, 0.0, 1.0), search_sims=2, num_envs=8,
+        segment_len=6, minibatches=2, epochs_per_iter=1, iterations=1,
+        hidden_sizes=(16,),
+    )
+    st, history = ppo.train(config)
+    assert history[0]["opponent"] == "search"
+
+
+def test_mixed_weights_validation():
+    with pytest.raises(ValueError, match="mixed_weights"):
+        ppo.PPOConfig(shared_policy=True, opponent="mixed",
+                      mixed_weights=(0.5, 0.5))
+
+
 def test_conv_model_forward():
     net = ac.ConvActorCritic()
     obs = jnp.zeros((4, 117), jnp.int8)
