@@ -70,6 +70,13 @@ AZ_SEGMENT = int(os.environ.get("GOBBLET_BENCH_AZ_SEGMENT", "48"))
 AZ_SEARCH = os.environ.get("GOBBLET_BENCH_AZ_SEARCH", "gumbel_lm")
 PPO_ENVS = int(os.environ.get("GOBBLET_BENCH_PPO_ENVS", "8192"))
 PPO_SEGMENT = int(os.environ.get("GOBBLET_BENCH_PPO_SEGMENT", "32"))
+# PRNG impl for the TRAIN-loop keys.  The round-5 device profile
+# (docs/PROFILE.md) showed the two threefry+gumbel-argmax sampler fusions
+# are the DQN collect scan's #1 sink (19.4% of device time); the hardware
+# rbg generator lifts the 262k-env knee 62.7 -> 71.0M env-steps/s (+13%)
+# with identical episode statistics.  Training itself defaults to threefry
+# for cross-backend seed reproducibility — same split as the rollout bench.
+TRAIN_PRNG = os.environ.get("GOBBLET_BENCH_TRAIN_PRNG", "rbg")
 
 
 def log(msg: str) -> None:
@@ -179,8 +186,8 @@ def bench_dqn_train() -> dict:
     )
     net = QNet(hidden_sizes=config.hidden_sizes)
     optimizer = optax.adam(config.lr)
-    key = jax.random.PRNGKey(0)
-    ts = dqn.init_train_state(config, net, optimizer, key)
+    key = jax.random.key(0, impl=TRAIN_PRNG)
+    ts = dqn.init_train_state(config, net, optimizer, jax.random.PRNGKey(0))
     env_state = bc.reset_planes(config.num_envs)
     buffer = replay.make_buffer(config.buffer_size)
     it, _ = dqn.make_train_iteration(config, net, optimizer)
@@ -228,8 +235,8 @@ def bench_az_train() -> dict:
         segment_len=AZ_SEGMENT, model="conv",
         batch_size=min(2048, AZ_ENVS * AZ_SEGMENT),
     )
-    key = jax.random.PRNGKey(0)
-    net, optimizer, st = alphazero.init_alphazero(config, key)
+    key = jax.random.key(0, impl=TRAIN_PRNG)
+    net, optimizer, st = alphazero.init_alphazero(config, jax.random.PRNGKey(0))
     it = alphazero.make_train_iteration(config, net, optimizer)
 
     cost = xla_cost(it, st.params, st.opt_state, st.env_state, key)
@@ -275,8 +282,8 @@ def bench_ppo_train() -> dict:
         num_envs=PPO_ENVS, segment_len=PPO_SEGMENT, shared_policy=True,
         learner_player="both", opponent="self",
     )
-    key = jax.random.PRNGKey(0)
-    net, optimizer, st = ppo.init_ppo(config, key)
+    net, optimizer, st = ppo.init_ppo(config, jax.random.PRNGKey(0))
+    key = jax.random.key(0, impl=TRAIN_PRNG)
     it = ppo.make_train_iteration(config, net, optimizer, "self")
 
     params, opt_state, env_state = st.params[0], st.opt_states[0], st.env_states[0]

@@ -44,6 +44,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="add entries from the committed model zoo "
                         "(gobblet_rl_tpu/zoo; e.g. alphazero_gumbel32 "
                         "dqn_greedy ppo_league)")
+    parser.add_argument("--zoo-search", type=str, nargs="*", default=[],
+                        help="add depth-2 learned-eval search entrants over "
+                        "zoo value heads (policies/value_search.py); each "
+                        "NAME appears as 'NAME+search2'")
     parser.add_argument("--games", type=int, default=128,
                         help="games per pairing (color-swapped)")
     parser.add_argument("--max-plies", type=int, default=100)
@@ -79,6 +83,11 @@ def main(args=None):
         from gobblet_rl_tpu import zoo
 
         policies[name] = zoo.policy(name)
+
+    for name in args.zoo_search:
+        from gobblet_rl_tpu.policies import value_search
+
+        policies[f"{name}+search2"] = value_search.zoo_search_policy(name)
 
     if args.az_checkpoint:
         from gobblet_rl_tpu.train import alphazero

@@ -261,6 +261,35 @@ def apply_action_unchecked(board: jnp.ndarray, current: jnp.ndarray,
     return jnp.where(place, signed[None, None], lifted)
 
 
+def step_trusted(state: PlanesState, actions: jnp.ndarray) -> PlanesState:
+    """:func:`step_planes` minus the legality re-derivation, for callers
+    whose actions are legal BY CONSTRUCTION (sampled/argmaxed from
+    ``legal_mask_planes``, or emitted by the tree searches — every policy
+    in the training collects).  A live Gobblet position always has a legal
+    move (the two size-3 pieces can never be gobbled, so they are always
+    playable or movable), so mask-derived actions are always legal and the
+    outcome is BIT-IDENTICAL to ``step_planes``
+    (tests/test_batched.py::test_step_trusted_matches_step_planes).
+
+    Motivation (round-5 device profile, docs/PROFILE.md): the per-ply
+    covered/frozen/top-size legality reductions were ~15% of the fused DQN
+    iteration's device time, paid twice per learner transition on actions
+    that were just drawn from the very mask being re-derived."""
+    live = ~state.done
+    new_board = apply_action_unchecked(state.board, state.current, actions)
+    winner = winner_planes(flat_planes(new_board))
+    wf = winner.astype(jnp.float32)
+    return PlanesState(
+        board=jnp.where(live[None, None], new_board, state.board),
+        current=jnp.where(live, 1 - state.current, state.current),
+        turn=jnp.where(live, state.turn + 1, state.turn),
+        done=state.done | (live & (winner != 0)),
+        winner=jnp.where(live, winner, state.winner),
+        last_action=jnp.where(live, actions.astype(jnp.int32), state.last_action),
+        rewards=jnp.where(live[None], jnp.stack([wf, -wf]), 0.0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused rollout
 # ---------------------------------------------------------------------------

@@ -144,6 +144,19 @@ def dqn_value_fn(net, params):
     return value
 
 
+def zoo_search_policy(name: str, depth: int = 2, solve_leaves: bool = True):
+    """Depth-``depth`` learned-eval search over a committed zoo entry's
+    value head (dqn -> max-Q, alphazero/ppo -> critic), as a tournament
+    PolicyFn.  The ``<name>+search2`` entrants in example_tournament /
+    scripts/exploitability.py are built here."""
+    from gobblet_rl_tpu import zoo
+
+    net, params, entry = zoo.load(name)
+    vf = (dqn_value_fn(net, params) if entry["family"] == "dqn"
+          else az_value_fn(net, params))
+    return make_value_search(vf, depth=depth, solve_leaves=solve_leaves)
+
+
 def az_value_fn(net, params):
     """The AlphaZero value head (tanh-bounded, mover-perspective) as a leaf
     evaluator — search without the MCTS."""

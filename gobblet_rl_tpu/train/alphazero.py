@@ -131,7 +131,7 @@ def make_selfplay_segment(config: AZConfig, net):
 
             obs = _obs_bf(state.board, state.current)     # int8[B,117]
             player = state.current
-            s1 = bc.step_planes(state, actions)
+            s1 = bc.step_trusted(state, actions)  # search actions are mask-legal
             out = dict(obs=obs, mask=mask, pi=pi, player=player,
                        done=s1.done, winner=s1.winner)
             return (bc.autoreset_planes(s1), key), out
@@ -179,7 +179,7 @@ def _make_gumbel_segment(config: AZConfig, net):
             mask = bc.legal_mask_planes(state.board, state.current).T
             obs = _obs_bf(state.board, state.current)
             player = state.current
-            s1 = bc.step_planes(state, actions)
+            s1 = bc.step_trusted(state, actions)  # search actions are mask-legal
             # mover-perspective root value -> absolute sign (+1 = player 0)
             v_signed = root_v * jnp.where(player == 0, 1.0, -1.0)
             out = dict(obs=obs, mask=mask, pi=pi, player=player,

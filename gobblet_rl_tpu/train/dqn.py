@@ -147,12 +147,16 @@ def make_learner_step(config: DQNConfig, opponent_fn):
     lp = config.learner_player
 
     def learner_step(state, actions, key, opp_params):
+        # trusted steps: every action is mask-derived (eps-greedy argmax,
+        # mask sampler, greedy/self opponents), so the legality
+        # re-derivation of step_planes is skipped — bit-identical outcome
+        # (tests/test_batched_core.py), ~15% of device time at the 262k knee
         seat = seat_array(lp, state.current.shape[0])
-        s1 = bc.step_planes(state, actions)
+        s1 = bc.step_trusted(state, actions)
         r = _seat_reward(s1.rewards, seat)
         k1, k2 = jax.random.split(key)
         a_opp = opponent_fn(k1, s1.board, s1.current, opp_params)
-        s2 = bc.step_planes(s1, a_opp)  # frozen no-op where s1.done
+        s2 = bc.step_trusted(s1, a_opp)  # frozen no-op where s1.done
         r = r + _seat_reward(s2.rewards, seat)
         done = s2.done
         s3 = bc.autoreset_planes(s2)
@@ -161,7 +165,7 @@ def make_learner_step(config: DQNConfig, opponent_fn):
             # need the opponent to move first
             need = s3.current != seat
             a0 = opponent_fn(k2, s3.board, s3.current, opp_params)
-            s4 = bc.step_planes(s3, a0)
+            s4 = bc.step_trusted(s3, a0)
             s3 = jax.tree.map(partial(_sel, need), s4, s3)
         return s3, r, done
 
@@ -319,7 +323,7 @@ def make_eval_fn(config: DQNConfig, net: QNet, opponent_fn):
             a_learn = _eps_greedy(k_eps, q, mask.T, config.eps_eval)
             a_opp = opponent_fn(k_opp, state.board, state.current, opp_params)
             actions = jnp.where(state.current == seat, a_learn, a_opp)
-            stepped = bc.step_planes(state, actions)
+            stepped = bc.step_trusted(state, actions)
             out = (
                 (stepped.winner == lsign).sum(dtype=jnp.int32),
                 (stepped.winner == -lsign).sum(dtype=jnp.int32),

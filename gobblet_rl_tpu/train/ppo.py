@@ -182,12 +182,13 @@ def make_learner_rollout(config: PPOConfig, net, opponent_fn=None):
         opponent_fn = make_opponent_fn(config, net)
 
     def learner_step(state, actions, key, opp_params, lp):
+        # trusted steps: all actions are mask-derived (see bc.step_trusted)
         seat = seat_array(lp, state.current.shape[0])
-        s1 = bc.step_planes(state, actions)
+        s1 = bc.step_trusted(state, actions)
         r = _seat_reward(s1.rewards, seat)
         k1, k2 = jax.random.split(key)
         a_opp = opponent_fn(k1, s1.board, s1.current, opp_params)
-        s2 = bc.step_planes(s1, a_opp)  # frozen no-op where s1.done
+        s2 = bc.step_trusted(s1, a_opp)  # frozen no-op where s1.done
         r = r + _seat_reward(s2.rewards, seat)
         done = s2.done
         s3 = bc.autoreset_planes(s2)
@@ -196,7 +197,7 @@ def make_learner_rollout(config: PPOConfig, net, opponent_fn=None):
             # need the (frozen) opponent to move first
             need = s3.current != seat
             a0 = opponent_fn(k2, s3.board, s3.current, opp_params)
-            s4 = bc.step_planes(s3, a0)
+            s4 = bc.step_trusted(s3, a0)
             s3 = jax.tree.map(partial(_sel, need), s4, s3)
         return s3, r, done
 

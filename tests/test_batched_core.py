@@ -88,3 +88,29 @@ def test_rollout_random_agrees_with_vector_stats():
     state, _, stats = bc.rollout_random(state, jax.random.PRNGKey(0), S)
     assert int(stats["episodes"]) == int(stats["wins_p1"]) + int(stats["wins_p2"])
     assert int(stats["episodes"]) > B
+
+
+def test_step_trusted_matches_step_planes():
+    """step_trusted is bit-identical to step_planes whenever every action
+    is mask-legal — the training-collect contract (round-5 fast path).
+    Drive both with identical mask-sampled streams through full games
+    (wins, freezing, autoreset) and compare every state field."""
+    B, S = 256, 40
+    key = jax.random.PRNGKey(7)
+    a_state = bc.reset_planes(B)
+    b_state = bc.reset_planes(B)
+    for _ in range(S):
+        key, sub = jax.random.split(key)
+        mask = bc.legal_mask_planes(a_state.board, a_state.current)
+        actions = bc.sample_random_lm(sub, mask)
+        a_state = bc.step_planes(a_state, actions)
+        b_state = bc.step_trusted(b_state, actions)
+        for field in a_state._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a_state, field)),
+                np.asarray(getattr(b_state, field)), err_msg=field,
+            )
+        # exercise the frozen path for a while before resetting
+        if int(a_state.done.sum()) > B // 2:
+            a_state = bc.autoreset_planes(a_state)
+            b_state = bc.autoreset_planes(b_state)
