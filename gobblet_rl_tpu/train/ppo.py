@@ -85,6 +85,16 @@ class PPOConfig:
     mixed_weights: tuple = (0.25, 0.25, 0.5)   # P(random, greedy, pool[, search])
     search_sims: int = 8      # gumbel simulations of the "search" attacker
     search_entry: str = "alphazero_gumbel32"   # zoo entry it plays with
+    # solver-supervised defense distillation (train/defense.py): > 0 adds a
+    # behavior-cloning term on the exact solver's mate-maximizing defensive
+    # moves, over positions on the oracle's own attack paths.  Terminal-only
+    # rewards carry almost no pro-survival gradient (losing later only
+    # changes the return by the gamma-timing factor, which normalized
+    # advantages wash out) — measured round 5: the search league alone left
+    # survival at 5.1 plies; the audit target is greedy-2's 9.8.
+    defense_bc_weight: float = 0.0
+    defense_bank_games: int = 256
+    defense_bank_depth: int = 16
 
     def __post_init__(self):
         # non-shared (alternating two-policy) mode is pure self-play; catch
@@ -249,7 +259,8 @@ def compute_gae(traj, last_value, gamma, lam):
 
 
 def make_train_iteration(config: PPOConfig, net, optimizer,
-                         opponent_kind: str | None = None):
+                         opponent_kind: str | None = None,
+                         defense_bank: dict | None = None):
     rollout = make_learner_rollout(
         config, net, make_opponent_fn(config, net, opponent_kind)
     )
@@ -266,6 +277,17 @@ def make_train_iteration(config: PPOConfig, net, optimizer,
         v_loss = jnp.mean((value - batch["ret"]) ** 2)
         ent = entropy.mean()
         total = pg_loss + config.vf_coef * v_loss - config.ent_coef * ent
+        if defense_bank is not None:
+            # defense distillation: masked cross-entropy to the solver's
+            # mate-maximizing move over the (small, fixed) bank — cheap
+            # enough to use the WHOLE bank every update
+            blogits, _ = net.apply(params, defense_bank["obs"])
+            bl = jnp.where(defense_bank["mask"], blogits, -1e9)
+            blogp = jax.nn.log_softmax(bl, axis=-1)
+            bc = -jnp.take_along_axis(
+                blogp, defense_bank["action"][:, None], axis=1
+            ).mean()
+            total = total + config.defense_bc_weight * bc
         return total, (pg_loss, v_loss, ent)
 
     @partial(jax.jit, static_argnums=(5,))
@@ -384,6 +406,15 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
     net, optimizer, st = init_ppo(config, key)
 
     rng = np.random.default_rng(config.seed)
+    bank = None
+    if config.defense_bc_weight > 0:
+        from gobblet_rl_tpu.train import defense
+
+        raw = defense.generate_defense_bank(
+            num_games=config.defense_bank_games, seed=config.seed,
+            depth=config.defense_bank_depth,
+        )
+        bank = {k: jnp.asarray(raw[k]) for k in ("obs", "mask", "action")}
     if config.shared_policy:
         if config.opponent == "mixed":
             kinds = ("random", "greedy", "self")
@@ -391,11 +422,12 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
                 kinds = kinds + ("search",)
         else:
             kinds = (_resolve_kind(config, None),)
-        its = {k: make_train_iteration(config, net, optimizer, k) for k in kinds}
+        its = {k: make_train_iteration(config, net, optimizer, k, bank)
+               for k in kinds}
         pool = [st.params[0]]  # league seed: the untrained net
     else:
         # config.opponent == "self" is guaranteed by PPOConfig.__post_init__
-        its = {"self": make_train_iteration(config, net, optimizer, "self")}
+        its = {"self": make_train_iteration(config, net, optimizer, "self", bank)}
         pool = []
 
     start = 0
