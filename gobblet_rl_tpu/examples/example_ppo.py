@@ -22,15 +22,24 @@ def get_parser() -> argparse.ArgumentParser:
                         help="learner seat(s) in shared-policy mode; 'both' "
                         "alternates even/odd envs (seat-agnostic training)")
     parser.add_argument("--opponent", type=str, default="self",
-                        choices=["self", "random", "greedy", "pool", "mixed"],
+                        choices=["self", "random", "greedy", "pool", "search",
+                                 "mixed"],
                         help="frozen in-collector opponent (shared-policy "
-                        "mode); 'mixed' is the league the zoo's ppo_league "
+                        "mode); 'search' is the zoo-AZ gumbel attacker; "
+                        "'mixed' is the league the zoo's ppo_league "
                         "recipe uses — plain self-play cycles "
                         "(docs/RESULTS.md)")
-    parser.add_argument("--mixed-weights", type=float, nargs=3,
+    parser.add_argument("--mixed-weights", type=float, nargs="+",
                         default=[0.1, 0.7, 0.2],
-                        metavar=("P_RANDOM", "P_GREEDY", "P_POOL"),
-                        help="opponent=mixed: per-iteration draw weights")
+                        metavar="P",
+                        help="opponent=mixed: per-iteration draw weights "
+                        "over (random, greedy, pool[, search]) — 3 or 4 "
+                        "values")
+    parser.add_argument("--search-sims", type=int, default=8,
+                        help="gumbel simulations of the 'search' attacker")
+    parser.add_argument("--defense-bc-weight", type=float, default=0.0,
+                        help="> 0 adds solver-supervised defense "
+                        "distillation (train/defense.py)")
     parser.add_argument("--logdir", type=str, default="log")
     parser.add_argument("--checkpoint-dir", type=str, default=None,
                         help="full-resume checkpoints (params + optimizer + "
@@ -62,6 +71,8 @@ def main(args=None):
                         else int(args.learner_player)),
         opponent=args.opponent,
         mixed_weights=tuple(args.mixed_weights),
+        search_sims=args.search_sims,
+        defense_bc_weight=args.defense_bc_weight,
     )
     if getattr(args, "resume", False) and not args.checkpoint_dir:
         raise SystemExit("--resume requires --checkpoint-dir")

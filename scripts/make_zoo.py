@@ -119,15 +119,27 @@ def make_ppo(args):
     from gobblet_rl_tpu.eval import tournament
     from gobblet_rl_tpu.train import ppo
 
-    # Greedy-heavy snapshot league, NOT plain self-play: pure shared-policy
-    # self-play cycles (measured rounds 2-3, docs/RESULTS.md — 40 iters
-    # 0.027 vs greedy-2, 200 iters 0.059, never climbing), while the
-    # round-3 sweep measured opponent='mixed' (0.1 random / 0.7 greedy /
-    # 0.2 past-snapshot pool) at 0.844 vs greedy-2 after 800 iterations
-    # (~12 min TPU) vs 0.805 for a pure-greedy opponent at the same budget.
+    # Greedy-heavy snapshot league + two round-5 legs (measured,
+    # docs/RESULTS.md): a converting Gumbel-search attacker (the committed
+    # AZ zoo net at 8 sims — punishes lost positions, which greedy/pool
+    # never did) and solver-supervised defense distillation
+    # (defense_bc_weight=1.0 over a 384-game oracle-attack bank).  Result:
+    # 0.867 vs greedy-2 (old 3-leg league: 0.844) AND PERFECT defense —
+    # 13.0 plies survived vs the oracle's fastest attack (the theoretical
+    # optimum; the round-4 agent survived 5.0, below random's 5.7).
+    # bc weight 3.0 over-regularizes (0.656 vs greedy-2, same defense).
+    # NOTE: run after make_alphazero — the search leg loads the committed
+    # AZ blob.
+    # quick smoke runs may target ppo_league alone into an empty zoo dir —
+    # drop the search leg when its AZ blob is absent
+    have_az = "alphazero_gumbel32" in zoo.names()
     config = ppo.PPOConfig(
         shared_policy=True, learner_player="both", opponent="mixed",
-        mixed_weights=(0.1, 0.7, 0.2),
+        mixed_weights=((0.1, 0.5, 0.2, 0.2) if have_az else (0.1, 0.7, 0.2)),
+        search_sims=8,
+        defense_bc_weight=1.0,
+        defense_bank_games=16 if args.quick else 384,
+        defense_bank_depth=12 if args.quick else 16,
         iterations=8 if args.quick else 800,
         num_envs=64 if args.quick else 512, seed=args.seed,
     )
@@ -136,8 +148,14 @@ def make_ppo(args):
     mins = (time.time() - t0) / 60
     print(f"ppo trained in {mins:.1f} min", flush=True)
     net = ppo.make_net(config)
-    metrics = measure(tournament.ppo_policy(net, st.params[0]),
-                      args.eval_games, args.seed)
+    pol = tournament.ppo_policy(net, st.params[0])
+    metrics = measure(pol, args.eval_games, args.seed)
+    if not args.quick:
+        d = tournament.defense_audit(pol, num_games=32, seed=args.seed,
+                                     depth=16)
+        metrics["defense_plies_survived"] = round(d["mean_plies_survived"], 1)
+        metrics["defense_mistakes_per_game"] = round(d["mistakes_per_game"], 2)
+        print(f"  defense audit: {d}", flush=True)
     metrics["train_minutes"] = round(mins, 1)
     zoo.save("ppo_league", st.params[0], {
         "family": "ppo",
@@ -145,6 +163,9 @@ def make_ppo(args):
         "recipe": (f"scripts/make_zoo.py: PPOConfig(shared_policy=True, "
                    f"learner_player='both', opponent='mixed', "
                    f"mixed_weights={config.mixed_weights}, "
+                   f"search_sims={config.search_sims}, "
+                   f"defense_bc_weight={config.defense_bc_weight}, "
+                   f"defense_bank_games={config.defense_bank_games}, "
                    f"iterations={config.iterations}, num_envs={config.num_envs}, "
                    f"seed={args.seed})"),
         "metrics": metrics,
