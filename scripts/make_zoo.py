@@ -123,15 +123,15 @@ def make_ppo(args):
     from gobblet_rl_tpu.eval import tournament
     from gobblet_rl_tpu.train import ppo
 
-    # Greedy-heavy snapshot league + two round-5 legs (measured,
+    # Greedy-heavy snapshot league + two round-5 legs (measured sweep,
     # docs/RESULTS.md): a converting Gumbel-search attacker (the committed
-    # AZ zoo net at 8 sims — punishes lost positions, which greedy/pool
-    # never did) and solver-supervised defense distillation
-    # (defense_bc_weight=1.0 over a 384-game oracle-attack bank).  Result:
-    # 0.867 vs greedy-2 (old 3-leg league: 0.844) AND PERFECT defense —
-    # 13.0 plies survived vs the oracle's fastest attack (the theoretical
-    # optimum; the round-4 agent survived 5.0, below random's 5.7).
-    # bc weight 3.0 over-regularizes (0.656 vs greedy-2, same defense).
+    # AZ zoo net — punishes lost positions, which greedy/pool never did)
+    # and solver-supervised defense distillation (defense_bc_weight=1.0
+    # over a 384-game oracle-attack bank).  The winning mix vs greedy-2 /
+    # defense plies (old 3-leg league: 0.844 / 5.0, below random):
+    #   (0.1, 0.6, 0.2, 0.1) sims=4 1000 it -> 0.898 / 13.0 (PERFECT)  <- shipped
+    #   (0.1, 0.5, 0.2, 0.2) sims=8  800 it -> 0.79  / 13.0
+    #   bc weight 3.0 over-regularizes      -> 0.656 / 13.0
     # NOTE: run after make_alphazero — the search leg loads the committed
     # AZ blob.
     # quick smoke runs may target ppo_league alone into an empty zoo dir —
@@ -139,12 +139,12 @@ def make_ppo(args):
     have_az = "alphazero_gumbel32" in zoo.names()
     config = ppo.PPOConfig(
         shared_policy=True, learner_player="both", opponent="mixed",
-        mixed_weights=((0.1, 0.5, 0.2, 0.2) if have_az else (0.1, 0.7, 0.2)),
-        search_sims=8,
+        mixed_weights=((0.1, 0.6, 0.2, 0.1) if have_az else (0.1, 0.7, 0.2)),
+        search_sims=4,
         defense_bc_weight=1.0,
         defense_bank_games=16 if args.quick else 384,
         defense_bank_depth=12 if args.quick else 16,
-        iterations=8 if args.quick else 800,
+        iterations=8 if args.quick else 1000,
         num_envs=64 if args.quick else 512, seed=args.seed,
     )
     t0 = time.time()
