@@ -154,3 +154,44 @@ def test_alphazero_converts_won_opening_vs_oracle():
     )
     assert res["losses"] == 0, res
     assert res["win_rate"] >= 0.9, res
+
+
+@pytest.mark.slow
+def test_ppo_league_oracle_perfect_play():
+    """The round-5 ppo_league entry matches the native expert on BOTH
+    oracle metrics (docs/RESULTS.md): it converts won openings against the
+    solver's best defense with a PLAIN argmax policy (no search at eval
+    time), and defends to the theoretical 13 plies with zero provable
+    mistakes."""
+    if "ppo_league" not in _committed_names():
+        pytest.skip("ppo_league not committed yet")
+    from gobblet_rl_tpu import zoo
+    from gobblet_rl_tpu.eval import tournament
+
+    pol = zoo.policy("ppo_league")
+    res = tournament.play_match(
+        pol, tournament.solver_policy(depth=15),
+        num_games=16, seed=0, swap_colors=False, max_plies=60,
+    )
+    assert res["losses"] == 0 and res["win_rate"] >= 0.9, res
+    d = tournament.defense_audit(pol, num_games=8, seed=1, depth=16)
+    assert d["mean_plies_survived"] >= 12.5, d
+    assert d["mistakes_per_game"] <= 0.25, d
+
+
+@pytest.mark.slow
+def test_az_value_search_converts_without_mcts():
+    """policies/value_search.py over the committed AZ value head — depth-2
+    minimax + exact leaf solver, NO MCTS — also converts the won opening
+    (round-5; the learned-eval upgrade of the reference's depth-3 scan)."""
+    if "alphazero_gumbel32" not in _committed_names():
+        pytest.skip("alphazero_gumbel32 not committed yet")
+    from gobblet_rl_tpu.eval import tournament
+    from gobblet_rl_tpu.policies import value_search
+
+    res = tournament.play_match(
+        value_search.zoo_search_policy("alphazero_gumbel32"),
+        tournament.solver_policy(depth=15),
+        num_games=8, seed=0, swap_colors=False, max_plies=60,
+    )
+    assert res["losses"] == 0 and res["win_rate"] >= 0.85, res
