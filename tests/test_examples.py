@@ -158,6 +158,20 @@ def test_example_tournament_cli():
     assert standings["alphabeta-2"]["elo"] > standings["random"]["elo"]
 
 
+def test_example_tournament_zoo_search_entrant():
+    """--zoo-search adds the '<name>+search2' learned-eval entrant."""
+    r = run_example(
+        ["-m", "gobblet_rl_tpu.examples.example_tournament",
+         "--agents", "random", "--zoo-search", "dqn_greedy",
+         "--games", "8", "--json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    standings = res["standings"]
+    assert set(standings) == {"random", "dqn_greedy+search2"}
+    assert (standings["dqn_greedy+search2"]["elo"]
+            > standings["random"]["elo"])
+
+
 def test_bench_cli_json_contract():
     """bench.py's FINAL stdout line is the headline metric (the driver
     parses the tail); auxiliary metrics come before it."""
