@@ -73,6 +73,14 @@ class DQNConfig:
     # overfits to exploiting the frozen snapshot — measured in round 1: 99%
     # vs the snapshot but 2% vs greedy.  Mixing keeps general strength.
     mixed_weights: tuple = (0.25, 0.25, 0.5)
+    # solver-supervised defense distillation (train/defense.py, round 5 —
+    # same mechanism as PPOConfig.defense_bc_weight): > 0 adds a
+    # cross-entropy term over masked Q-values (as logits) toward the exact
+    # solver's mate-maximizing defensive moves, pushing the argmax policy
+    # toward optimal defense in lost positions the opponent never reaches
+    defense_bc_weight: float = 0.0
+    defense_bank_games: int = 256
+    defense_bank_depth: int = 16
 
 
 class TrainState(NamedTuple):
@@ -183,7 +191,8 @@ def init_env_state(config: DQNConfig, opponent_fn, opp_params, key):
     return state
 
 
-def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
+def make_train_iteration(config: DQNConfig, net: QNet, optimizer,
+                         defense_bank: dict | None = None):
     opponent_fn = make_opponent_fn(config, net)
     learner_step = make_learner_step(config, opponent_fn)
     L = config.segment_len + config.n_step - 1  # tail for full n-step horizon
@@ -235,7 +244,19 @@ def make_train_iteration(config: DQNConfig, net: QNet, optimizer):
         def loss_fn(params):
             q = net.apply(params, obs)
             q_a = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
-            return jnp.mean((q_a - target) ** 2)
+            loss = jnp.mean((q_a - target) ** 2)
+            if defense_bank is not None:
+                # defense distillation: treat masked Q as logits and push
+                # the argmax toward the solver's mate-maximizing move over
+                # the (small, fixed) bank — whole bank every update
+                bq = net.apply(params, defense_bank["obs"])
+                bl = jnp.where(defense_bank["mask"], bq, -1e9)
+                blogp = jax.nn.log_softmax(bl, axis=-1)
+                bc = -jnp.take_along_axis(
+                    blogp, defense_bank["action"][:, None], axis=1
+                ).mean()
+                loss = loss + config.defense_bc_weight * bc
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(ts.params)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
@@ -369,10 +390,20 @@ def train(
     ts = init_train_state(config, net, optimizer, k_init)
 
     rng_mix = np.random.default_rng(config.seed)
+    bank = None
+    if config.defense_bc_weight > 0:
+        from gobblet_rl_tpu.train import defense
+
+        raw = defense.generate_defense_bank(
+            num_games=config.defense_bank_games, seed=config.seed,
+            depth=config.defense_bank_depth,
+        )
+        bank = {k: jnp.asarray(raw[k]) for k in ("obs", "mask", "action")}
     if config.opponent == "mixed":
         variants = {
             kind: make_train_iteration(
-                dataclasses.replace(config, opponent=kind), net, optimizer
+                dataclasses.replace(config, opponent=kind), net, optimizer,
+                bank,
             )
             for kind in ("random", "greedy", "self")
         }
@@ -385,7 +416,9 @@ def train(
         # evaluation + env bootstrap use the greedy opponent (the hardest)
         train_iteration, opponent_fn = variants["greedy"]
     else:
-        train_iteration, opponent_fn = make_train_iteration(config, net, optimizer)
+        train_iteration, opponent_fn = make_train_iteration(
+            config, net, optimizer, bank
+        )
 
         def pick_iteration():
             return train_iteration

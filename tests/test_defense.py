@@ -91,3 +91,39 @@ def test_ppo_defense_bc_trains_toward_labels():
     # (the shipped recipe runs ~250x more updates)
     assert after > before and after >= 0.2, (before, after)
     assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_dqn_defense_bc_trains_toward_labels():
+    """Same mechanism on the DQN family: the CE-over-masked-Q term pushes
+    the argmax policy toward the solver's defensive moves."""
+    import jax.numpy as jnp
+
+    from gobblet_rl_tpu.train import dqn
+
+    config = dqn.DQNConfig(
+        opponent="random", defense_bc_weight=5.0, defense_bank_games=8,
+        defense_bank_depth=12, lr=1e-3, buffer_size=2048, epoch=6,
+        step_per_epoch=6, segment_len=4, update_per_collect=4,
+        batch_size=64, num_envs=32, hidden_sizes=(32, 32),
+    )
+    train_bank = defense.generate_defense_bank(
+        num_games=config.defense_bank_games, seed=config.seed,
+        depth=config.defense_bank_depth,
+    )
+    net = dqn.make_net(config)
+
+    def agreement(params):
+        q = net.apply(params, jnp.asarray(train_bank["obs"]))
+        ml = jnp.where(jnp.asarray(train_bank["mask"]), q, -1e9)
+        pred = np.asarray(jnp.argmax(ml, axis=-1))
+        return (pred == train_bank["action"]).mean()
+
+    import optax
+
+    ts0 = dqn.init_train_state(config, net, optax.adam(config.lr),
+                               jax.random.PRNGKey(config.seed))
+    before = agreement(ts0.params)
+    ts, hist = dqn.train(config)
+    after = agreement(ts.params)
+    assert after > before and after >= 0.2, (before, after)
+    assert all(np.isfinite(h["loss"]) for h in hist)
