@@ -72,6 +72,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--both-seats", action="store_true",
                         help="train one net over alternating per-env seats "
                         "(seat-agnostic; beyond the reference's pinned seat)")
+    parser.add_argument("--defense-bc-weight", type=float, default=0.0,
+                        help="> 0 adds solver-supervised defense "
+                        "distillation (train/defense.py; measured "
+                        "strength/defense trade-off in docs/RESULTS.md)")
     parser.add_argument("--opponent", type=str, default="random",
                         choices=["random", "greedy", "self", "mixed"],
                         help="training opponent; 'mixed' draws random/greedy/"
@@ -117,6 +121,7 @@ def make_config(args):
         double=getattr(args, "double", True),
         dueling=getattr(args, "dueling", True),
         eps_eval=getattr(args, "eps_eval", 0.0),
+        defense_bc_weight=getattr(args, "defense_bc_weight", 0.0),
     )
 
 
