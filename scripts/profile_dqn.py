@@ -86,6 +86,27 @@ def build_ppo(envs: int):
     return state, step, config.num_envs * config.segment_len
 
 
+def build_az(envs: int):
+    """Bench configuration of the fused AlphaZero (gumbel_lm) iteration."""
+    from gobblet_rl_tpu.train import alphazero as az
+
+    config = az.AZConfig(
+        search="gumbel_lm", num_sims=32, num_envs=envs, segment_len=48,
+        model="conv", batch_size=min(2048, envs * 48),
+    )
+    net, optimizer, st = az.init_alphazero(config, jax.random.PRNGKey(0))
+    it = az.make_train_iteration(config, net, optimizer)
+    state = {"p": st.params, "o": st.opt_state, "e": st.env_state,
+             "key": jax.random.PRNGKey(1)}
+
+    def step(state):
+        p, o, e, stats = it(state["p"], state["o"], state["e"], state["key"])
+        key = jax.random.fold_in(state["key"], 1)
+        return {"p": p, "o": o, "e": e, "key": key}, stats["loss"]
+
+    return state, step, config.num_envs * config.segment_len
+
+
 def capture(state, step, logdir: str, iters: int):
     # compile + settle outside the trace
     for _ in range(2):
@@ -199,7 +220,7 @@ def classify(name: str) -> str:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--family", default="dqn", choices=["dqn", "ppo"])
+    p.add_argument("--family", default="dqn", choices=["dqn", "ppo", "az"])
     p.add_argument("--envs", type=int, default=262144)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--top", type=int, default=25)
@@ -212,10 +233,10 @@ def main():
     args = p.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
-    state, step, steps_per_iter = (
-        build_dqn(args.envs, args.prng) if args.family == "dqn"
-        else build_ppo(args.envs)
-    )
+    builders = {"dqn": lambda: build_dqn(args.envs, args.prng),
+                "ppo": lambda: build_ppo(args.envs),
+                "az": lambda: build_az(args.envs)}
+    state, step, steps_per_iter = builders[args.family]()
     logdir = args.logdir or tempfile.mkdtemp(prefix=f"prof_{args.family}_")
     import time
 
