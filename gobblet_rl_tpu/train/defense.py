@@ -35,14 +35,24 @@ import numpy as np
 
 
 def generate_defense_bank(num_games: int = 256, seed: int = 0,
-                          depth: int = 16, max_plies: int = 40) -> dict:
+                          depth: int = 16, max_plies: int = 40,
+                          sides: str = "defense") -> dict:
     """Play ``num_games`` parallel oracle-attack games and label every live
     defensive position with the solver's mate-maximizing move.
+
+    ``sides="both"`` additionally labels every live ATTACKING position
+    (P1 to move, theoretically won) with the solver's fastest attack move
+    — the P1 positions are diversified by the per-lane defender mix, so
+    the attack labels cover winning lines against varied defenses (round-5
+    measurement: the defense-only bank taught the PPO agent to convert
+    63/64 against the solver's defense but only 23/64 against the
+    alpha-beta expert's different defense).
 
     Returns ``{"obs": int8[N,117], "mask": bool[N,54], "action": int32[N]}``
     with byte-deduplicated positions.  Host-side (native solver); runs in
     seconds at depth 16 — the midgame tree is tiny and transposition-cached.
     """
+    assert sides in ("defense", "both"), sides
     import jax
     import jax.numpy as jnp
 
@@ -74,6 +84,16 @@ def generate_defense_bank(num_games: int = 256, seed: int = 0,
             actions = engine.solve_batch(
                 boards27, np.zeros(num_games, np.int32), depth, salt
             )
+            if sides == "both":
+                mask = np.asarray(
+                    bc.legal_mask_planes(state.board, state.current)
+                )
+                obs = np.asarray(bc.features_lm(state.board, state.current))
+                for g in np.flatnonzero(~done):
+                    b = (0, boards27[g].tobytes())
+                    if b not in seen:
+                        seen[b] = (obs[:, g], mask[:, g], int(actions[g]),
+                                   boards27[g])
         else:
             # label: the solver's optimal defense per live lane
             labels = engine.solve_batch(
@@ -84,7 +104,7 @@ def generate_defense_bank(num_games: int = 256, seed: int = 0,
             )  # [54, B]
             obs = np.asarray(bc.features_lm(state.board, state.current))
             for g in np.flatnonzero(~done):
-                b = boards27[g].tobytes()
+                b = (1, boards27[g].tobytes())
                 if b not in seen:
                     seen[b] = (obs[:, g], mask[:, g], int(labels[g]),
                                boards27[g])

@@ -95,6 +95,10 @@ class PPOConfig:
     defense_bc_weight: float = 0.0
     defense_bank_games: int = 256
     defense_bank_depth: int = 16
+    # "defense" labels only P2 (lost) positions; "both" also labels P1
+    # (won) positions with the solver's fastest attack — generalizes
+    # conversion beyond the solver's own defense lines (train/defense.py)
+    defense_bank_sides: str = "defense"
 
     def __post_init__(self):
         # non-shared (alternating two-policy) mode is pure self-play; catch
@@ -412,7 +416,7 @@ def train(config: PPOConfig = PPOConfig(), logger=None, full_resume_dir=None):
 
         raw = defense.generate_defense_bank(
             num_games=config.defense_bank_games, seed=config.seed,
-            depth=config.defense_bank_depth,
+            depth=config.defense_bank_depth, sides=config.defense_bank_sides,
         )
         bank = {k: jnp.asarray(raw[k]) for k in ("obs", "mask", "action")}
     if config.shared_policy:

@@ -129,7 +129,11 @@ def make_ppo(args):
     # and solver-supervised defense distillation (defense_bc_weight=1.0
     # over a 384-game oracle-attack bank).  The winning mix vs greedy-2 /
     # defense plies (old 3-leg league: 0.844 / 5.0, below random):
-    #   (0.1, 0.6, 0.2, 0.1) sims=4 1000 it -> 0.898 / 13.0 (PERFECT)  <- shipped
+    #   (0.1, 0.6, 0.2, 0.1) sims=4 1000 it, bank sides='both'
+    #                                       -> 0.906 / 13.0 (PERFECT)  <- shipped
+    #     (attack labels lift conversion vs the alpha-beta defense
+    #      36% -> 53% while conversion vs the solver defense stays 32/32)
+    #   same, defense-only bank             -> 0.898 / 13.0
     #   (0.1, 0.5, 0.2, 0.2) sims=8  800 it -> 0.79  / 13.0
     #   bc weight 3.0 over-regularizes      -> 0.656 / 13.0
     # NOTE: run after make_alphazero — the search leg loads the committed
@@ -144,6 +148,7 @@ def make_ppo(args):
         defense_bc_weight=1.0,
         defense_bank_games=16 if args.quick else 384,
         defense_bank_depth=12 if args.quick else 16,
+        defense_bank_sides="both",
         iterations=8 if args.quick else 1000,
         num_envs=64 if args.quick else 512, seed=args.seed,
     )
@@ -170,6 +175,7 @@ def make_ppo(args):
                    f"search_sims={config.search_sims}, "
                    f"defense_bc_weight={config.defense_bc_weight}, "
                    f"defense_bank_games={config.defense_bank_games}, "
+                   f"defense_bank_sides='{config.defense_bank_sides}', "
                    f"iterations={config.iterations}, num_envs={config.num_envs}, "
                    f"seed={args.seed})"),
         "metrics": metrics,
